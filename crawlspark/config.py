@@ -1,0 +1,89 @@
+"""Engine configuration.
+
+All crawl semantics are parameterized here so the Spark engine and the
+pure-Python oracle (``crawlspark.oracle.simulator``) consume the identical
+constants — integer math only, per the ordering-parity requirement
+(SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Semantics of one crawl run (shared engine <-> oracle).
+
+    Mirrors the reference's knobs:
+      * ``batch_size``    — epoch pop cap (ref: batch 2000-20000,
+                            /root/reference/src/main.py:132-137, ci_crawler.py:75-78)
+      * ``max_attempts``  — retry cap (ref: tenacity stop_after_attempt(5),
+                            /root/reference/src/infrastructure/github_api.py:70-74)
+      * backoff           — exponential, integer epochs, min/max clamps
+                            (ref: wait_exponential(multiplier=1, min=4, max=60) sec,
+                            github_api.py:70-74; we count in epochs)
+      * secondary backoff — additive host-level deferral
+                            (ref: min(60, delay+10) sec, github_api.py:103-108)
+    """
+
+    batch_size: int = 200
+    max_attempts: int = 5
+    backoff_min_epochs: int = 1
+    backoff_max_epochs: int = 8
+    secondary_backoff_epochs: int = 2
+    # Deterministic fetch simulation: outcome = mix(url_hash, attempt, epoch) % 1000.
+    transient_fail_per_mille: int = 100   # -> status 'retry'
+    secondary_limit_per_mille: int = 20   # -> status 'deferred' + host backoff
+    n_filter_buckets: int = 64            # seen_filter bucket count
+    bloom_bits_per_item: int = 10
+    bloom_num_hashes: int = 4
+    use_bloom: bool = True
+
+    def backoff_epochs(self, attempt: int) -> int:
+        """Exponential backoff in epochs for a row about to carry `attempt`
+        (1-based after increment). min/max-clamped, integer-only."""
+        return min(self.backoff_max_epochs,
+                   max(self.backoff_min_epochs, 1 << (attempt - 1)))
+
+
+@dataclass(frozen=True)
+class SparkTuning:
+    """Spark session tuning used by session.get_spark()."""
+
+    master: str = "local[32]"
+    shuffle_partitions: int = 32
+    driver_memory: str = "32g"
+    app_name: str = "crawlspark"
+    extra: dict = field(default_factory=dict)
+
+
+FETCH_MIX_A = 0x9E3779B97F4A7C15  # splitmix64 golden-ratio constant
+FETCH_MIX_B = 0xBF58476D1CE4E5B9
+FETCH_MIX_C = 0x94D049BB133111EB
+
+
+def fetch_outcome_per_mille(url_hash: int, attempt: int, epoch: int) -> int:
+    """Deterministic per-fetch outcome draw in [0, 1000): splitmix64-style
+    integer mixing of (url_hash, attempt, epoch). Pure int math — identical in
+    the oracle and in the vectorized fetch-sim UDF."""
+    x = (url_hash + FETCH_MIX_A * (attempt + 1) + epoch * 0x632BE59BD9B4E019) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * FETCH_MIX_B) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * FETCH_MIX_C) & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return int(x % 1000)
+
+
+def fetch_outcome_per_mille_np(url_hash, attempt, epoch: int):
+    """Vectorized twin of :func:`fetch_outcome_per_mille` (numpy uint64,
+    natural mod-2^64 wraparound). ``url_hash`` and ``attempt`` are arrays."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = (url_hash.astype(np.uint64)
+             + np.uint64(FETCH_MIX_A) * (attempt.astype(np.uint64) + np.uint64(1))
+             + np.uint64(epoch) * np.uint64(0x632BE59BD9B4E019))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(FETCH_MIX_B)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(FETCH_MIX_C)
+        x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(1000)).astype("int64")

@@ -1,0 +1,192 @@
+"""Deterministic synthetic crawl-domain data generator (FIXTURES.md §A/§B).
+
+Single integer seed; numpy RandomState only (no wall clock, no global RNG) so
+the Spark engine and the pure-Python oracle see byte-identical inputs
+(SURVEY.md §5). Writes plain pandas DataFrames; callers persist via pyarrow
+or ``spark.createDataFrame``.
+
+Shapes mirror the reference's crawl space:
+  * frontier strata/priority  <- ordered GitHub search-query list
+    (/root/reference/src/infrastructure/github_api.py:221-462)
+  * per-host skew             <- broad strata dominating the crawl
+    (github_api.py:460); hosts drawn Zipf(s~=1.1)
+  * injected duplicates       <- cross-page duplicate repos handled by the
+    seen-set (github_api.py:548-555); ~10% dup rate + canonicalization twins
+  * politeness budgets        <- rate-limit state
+    (/root/reference/src/domain/entities.py:178-194)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from . import codecs
+from .functions.urls import canonicalize_url, hash64, host_of
+
+BASE_EPOCH_TS = pd.Timestamp("2026-01-01T00:00:00Z")
+
+
+@dataclass(frozen=True)
+class GenSpec:
+    seed: int = 42
+    n_images: int = 1000
+    n_urls: int = 5000
+    n_hosts: int = 50
+    n_strata: int = 8
+    zipf_s: float = 1.1
+    dup_rate: float = 0.10
+    dirty_rate: float = 0.05      # canonicalization twins
+    robots_block_rate: float = 0.05
+
+
+def _host_name(i: int) -> str:
+    return f"host{i:04d}.example.com"
+
+
+def gen_image_caption(spec: GenSpec) -> pd.DataFrame:
+    """Primary input table — exact input_hint shape:
+    (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64). ``phash`` is computed over the *decoded*
+    payload so the recompute invariant holds exactly even for lossy qdct."""
+    rng = np.random.RandomState(spec.seed)
+    sizes = np.array([16, 32, 64], dtype=np.int32)
+    rows = []
+    for i in range(spec.n_images):
+        image_id = f"img_{i:012d}"
+        w = int(sizes[rng.randint(3)])
+        h = int(sizes[rng.randint(3)])
+        fmt = codecs.FORMATS[rng.randint(len(codecs.FORMATS))]
+        px = codecs.make_pixels(image_id, w, h)
+        buf = codecs.encode_image(px, fmt)
+        decoded = codecs.decode_image(buf, fmt, w, h)
+        rows.append(
+            {
+                "image_id": image_id,
+                "bytes": buf,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": codecs.make_caption(image_id),
+                "phash": codecs.phash64(decoded),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["w"] = df["w"].astype(np.int32)
+    df["h"] = df["h"].astype(np.int32)
+    df["phash"] = df["phash"].astype(np.int64)
+    return df
+
+
+def _zipf_host_indices(rng: np.random.RandomState, n: int, n_hosts: int,
+                       s: float) -> np.ndarray:
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    p /= p.sum()
+    return rng.choice(n_hosts, size=n, p=p)
+
+
+def gen_frontier(spec: GenSpec) -> pd.DataFrame:
+    """Frontier URL queue (FIXTURES.md §B). Includes deliberate duplicates
+    (~dup_rate) and canonicalization twins (~dirty_rate) to exercise
+    first-seen dedup and V1."""
+    rng = np.random.RandomState(spec.seed + 1)
+    n_base = int(spec.n_urls * (1.0 - spec.dup_rate))
+    host_idx = _zipf_host_indices(rng, n_base, spec.n_hosts, spec.zipf_s)
+    image_idx = rng.randint(0, spec.n_images, size=n_base)
+
+    urls = []
+    for j in range(n_base):
+        host = _host_name(int(host_idx[j]))
+        image_id = f"img_{int(image_idx[j]):012d}"
+        path = "img"
+        if rng.uniform() < spec.robots_block_rate:
+            path = "private/img"
+        urls.append(f"http://{host}/{path}/{image_id}")
+
+    # duplicates: repeat earlier urls, sometimes as dirty canonicalization twins
+    n_dup = spec.n_urls - n_base
+    dup_src = rng.randint(0, n_base, size=n_dup)
+    for j in range(n_dup):
+        u = urls[int(dup_src[j])]
+        r = rng.uniform()
+        if r < spec.dirty_rate * 4:
+            kind = rng.randint(4)
+            if kind == 0:
+                u = u.replace("http://host", "http://HOST", 1)
+            elif kind == 1:
+                u = u + "#frag"
+            elif kind == 2:
+                u = u.replace(".example.com/", ".example.com:80/", 1)
+            else:
+                u = u.replace("/img/", "/img/../img/./", 1)
+        urls.append(u)
+
+    n = len(urls)
+    order = rng.permutation(n)
+    urls = [urls[i] for i in order]
+    priority = rng.randint(0, spec.n_strata, size=n).astype(np.int32)
+    # seed list: make sure stratum 0 is populated deterministically
+    seq = np.zeros(n, dtype=np.int64)
+    for p in range(spec.n_strata):
+        mask = priority == p
+        seq[mask] = np.arange(int(mask.sum()), dtype=np.int64)
+
+    df = pd.DataFrame({"url": urls, "priority": priority, "seq": seq})
+    df["canonical_url"] = df["url"].map(canonicalize_url)
+    df["url_hash"] = df["canonical_url"].map(hash64).astype(np.int64)
+    df["host"] = df["url"].map(host_of)
+    df["host_hash"] = df["host"].map(hash64).astype(np.int64)
+    df["image_id"] = df["canonical_url"].str.extract(r"(img_\d{12})")[0]
+    df["attempt"] = np.int32(0)
+    df["not_before_epoch"] = np.int32(0)
+    # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    df["discovered_at"] = (BASE_EPOCH_TS + pd.to_timedelta(df["seq"], unit="s")
+                           ).astype("datetime64[us, UTC]")
+    df = df.drop(columns=["canonical_url"])
+    return df[
+        ["url", "url_hash", "host", "host_hash", "priority", "seq",
+         "image_id", "attempt", "not_before_epoch", "discovered_at"]
+    ]
+
+
+def gen_robots(spec: GenSpec) -> pd.DataFrame:
+    """Per-host robots rules; every host disallows /private/ (matches the
+    frontier's robots_block_rate paths), a few add an extra prefix."""
+    rng = np.random.RandomState(spec.seed + 2)
+    rows = []
+    for i in range(spec.n_hosts):
+        prefixes = ["/private/"]
+        if rng.uniform() < 0.2:
+            prefixes.append("/tmp/")
+        rows.append(
+            {
+                "host": _host_name(i),
+                "disallow_prefixes": prefixes,
+                "crawl_delay_ms": int(rng.choice([100, 250, 500, 1000])),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def gen_budgets(spec: GenSpec) -> pd.DataFrame:
+    """Per-host token buckets — integer math only (parity requirement)."""
+    rng = np.random.RandomState(spec.seed + 3)
+    rows = []
+    for i in range(spec.n_hosts):
+        capacity = int(rng.choice([4, 8, 16, 32]))
+        rows.append(
+            {
+                "host": _host_name(i),
+                "capacity": capacity,
+                "refill_per_epoch": max(1, capacity // 2),
+                "tokens": capacity,
+                "backoff_until_epoch": 0,
+            }
+        )
+    df = pd.DataFrame(rows)
+    for c in ("capacity", "refill_per_epoch", "tokens", "backoff_until_epoch"):
+        df[c] = df[c].astype(np.int32)
+    return df

@@ -1,0 +1,37 @@
+"""SparkSession factory: Arrow on, AQE on, UTC, local-tuned shuffle width.
+
+Local mode is the test/bench substrate; the same settings hold on a real
+cluster except ``master``/memory, which spark-submit supplies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import SparkTuning
+
+
+def get_spark(tuning: SparkTuning | None = None) -> SparkSession:
+    t = tuning or SparkTuning(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    )
+    b = (
+        SparkSession.builder.master(t.master)
+        .appName(t.app_name)
+        .config("spark.sql.shuffle.partitions", str(t.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", t.driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in t.extra.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
