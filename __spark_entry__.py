@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship query (frontier-pop shape over sf0.001).
+``queries``   — one callable per implemented operator from SURVEY.md §2
+                (crawl-engine operator analogs + training-data pipeline ops),
+                all defined in ``crawlspark.queries`` / ``crawlspark.textops``.
+``oracle_sql``— matching DuckDB ANSI-SQL strings; keys without an oracle are
+                non-SQL-expressible ops checked rows-only by the driver.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the frontier priority-pop + politeness-shaped query over
+    sf0.001 — top-priority order batch joined to its customer 'host' dim with
+    a per-host admission cap, the engine's signature plan
+    (crawlspark.plans.epoch)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    w_host = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderpriority"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+    admitted = (orders
+                .withColumn("host_rank", F.row_number().over(w_host))
+                .filter(F.col("host_rank") <= 3)   # per-host politeness cap
+                .join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+                      F.col("o_custkey") == F.col("c_custkey"))
+                .orderBy(F.asc("o_orderpriority"), F.asc("o_orderdate"),
+                         F.asc("o_orderkey"))
+                .limit(200)
+                .select("o_orderkey", "o_custkey", "o_orderpriority",
+                        "c_mktsegment", "host_rank"))
+    return admitted
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawlspark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    try:
+        from crawlspark.textops import QUERIES as TEXT_QUERIES
+    except ImportError:
+        TEXT_QUERIES = {}
+    return {**QUERIES, **TEXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawlspark.queries import ORACLE_SQL
+
+    try:
+        from crawlspark.textops import ORACLE_SQL as TEXT_ORACLE
+    except ImportError:
+        TEXT_ORACLE = {}
+    return {**ORACLE_SQL, **TEXT_ORACLE}

@@ -58,6 +58,22 @@ class SparkTuning:
     extra: dict = field(default_factory=dict)
 
 
+def choose_prefix(remaining: dict, batch_size: int) -> int:
+    """Smallest priority-stratum prefix whose cumulative remaining rows cover
+    2*batch_size (margin for politeness deferrals); the last stratum if the
+    frontier is nearly drained. Part of the crawl semantics proper — both the
+    Spark engine and the oracle apply this identical rule, so file-level
+    partition pruning never perturbs ordering parity."""
+    total = 0
+    ps = sorted(remaining)
+    p_max = ps[-1] if ps else 0
+    for p in ps:
+        total += remaining[p]
+        if total >= 2 * batch_size:
+            return p
+    return p_max
+
+
 FETCH_MIX_A = 0x9E3779B97F4A7C15  # splitmix64 golden-ratio constant
 FETCH_MIX_B = 0xBF58476D1CE4E5B9
 FETCH_MIX_C = 0x94D049BB133111EB

@@ -1,0 +1,72 @@
+"""Frontier dedup + eligibility operators (J2/J3, F-family in SURVEY.md §2).
+
+* ``supersede``      — one row per url_hash across frontier ∪ retries: the
+                       retry copy (higher attempt / later backoff) wins,
+                       otherwise first-seen order (lowest priority, seq) —
+                       dedup-at-arrival semantics of the reference's seen-set
+                       check (/root/reference/src/infrastructure/github_api.py:548-555).
+* ``not_seen``       — exact anti-join against url_seen, optionally fronted by
+                       the partitioned bloom probe (negative cache; positives
+                       are always re-checked exactly, so bloom FPs never drop
+                       or spuriously admit a URL).
+* ``robots_split``   — per-host disallow-prefix filter with the robots table
+                       broadcast (north_rule); returns (allowed, denied).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from . import bloom as bloom_ops
+
+def supersede_order():
+    return [F.desc("attempt"), F.desc("not_before_epoch"),
+            F.asc("priority"), F.asc("seq")]
+
+
+def supersede(pending: DataFrame) -> DataFrame:
+    """Collapse to one row per url_hash: max attempt wins (a retry replaces
+    the original frontier row), then latest backoff, then first-seen order."""
+    w = Window.partitionBy("url_hash").orderBy(*supersede_order())
+    return (pending.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def not_seen(candidates: DataFrame, url_seen: DataFrame | None,
+             seen_filter: DataFrame | None, cfg: CrawlConfig) -> DataFrame:
+    """Rows whose url_hash is not in the persistent seen set."""
+    if url_seen is None:
+        return candidates
+    if cfg.use_bloom and seen_filter is not None:
+        probed = bloom_ops.probe(candidates, seen_filter,
+                                 cfg.n_filter_buckets, cfg.bloom_num_hashes)
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        checked = maybe.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+        return fresh.unionByName(checked)
+    return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+
+
+def robots_split(candidates: DataFrame, robots: DataFrame | None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """(allowed, denied) by broadcast per-host disallow prefixes. The path is
+    parsed JVM-side (parse_url) and prefix-tested with a higher-order array
+    function — no Python on this path."""
+    if robots is None:
+        return candidates, candidates.limit(0)
+    joined = candidates.join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left")
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    denied_cond = F.coalesce(
+        F.exists("disallow_prefixes", lambda p: path.startswith(p)),
+        F.lit(False))
+    allowed = joined.filter(~denied_cond).drop("disallow_prefixes")
+    denied = joined.filter(denied_cond).drop("disallow_prefixes")
+    return allowed, denied
+
+
+def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Plain exact dedup (hash groupBy) — training-data pipeline primitive."""
+    return df.dropDuplicates(keys)

@@ -1,0 +1,162 @@
+"""Atomic snapshot table store — the offline stand-in for Iceberg.
+
+No Iceberg runtime jars are available in this sandbox (no network), so the
+engine's table layer is an explicit snapshot log over parquet files with the
+same guarantees the design relies on:
+
+* **atomic multi-table commit** — one epoch's outputs (crawl_log, url_seen,
+  retries, metrics, budgets, seen_filter, crawl_jobs) become visible together
+  or not at all (the commit is a single ``os.rename`` of a manifest file);
+* **snapshot isolation / time travel** — readers resolve a commit id to a
+  complete file list per table;
+* **resume from last committed snapshot** — a crashed epoch leaves only
+  unreferenced staged files, which readers never see (north_rule resumability;
+  reference analog: crawl_jobs.last_cursor checkpointing,
+  /root/reference/src/application/use_cases.py:68-74,103-117).
+
+On a real cluster this class is swapped for Iceberg ``MERGE INTO`` / snapshot
+reads; the engine only uses the four methods below, so the swap is config-only
+(SURVEY.md §7 M0).
+
+Commit manifest ``_log/commit-%012d.json``::
+
+    {"commit_id": 3, "epoch": 2, "tables": {"crawl_log": ["crawl_log/ab...parquet", ...]},
+     "meta": {...}}
+
+Each manifest carries the **complete** file list of every live table (like an
+Iceberg manifest list), so a reader needs exactly one manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    commit_id: int
+    epoch: int
+    tables: dict  # name -> list[str] (paths relative to store root)
+    meta: dict
+
+
+_EMPTY = Snapshot(commit_id=-1, epoch=-1, tables={}, meta={})
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(os.path.join(self.root, "_log"), exist_ok=True)
+
+    # -- log ----------------------------------------------------------------
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.root, "_log")
+
+    def _commit_path(self, commit_id: int) -> str:
+        return os.path.join(self._log_dir(), f"commit-{commit_id:012d}.json")
+
+    def commits(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._log_dir()):
+            if f.startswith("commit-") and f.endswith(".json"):
+                out.append(int(f[len("commit-"):-len(".json")]))
+        return sorted(out)
+
+    def snapshot(self, commit_id: int | None = None) -> Snapshot:
+        ids = self.commits()
+        if not ids:
+            return _EMPTY
+        cid = ids[-1] if commit_id is None else commit_id
+        with open(self._commit_path(cid)) as fh:
+            d = json.load(fh)
+        return Snapshot(commit_id=d["commit_id"], epoch=d["epoch"],
+                        tables=d["tables"], meta=d.get("meta", {}))
+
+    # -- staging ------------------------------------------------------------
+
+    def stage(self, df: "DataFrame", name: str) -> list[str]:
+        """Write a DataFrame's parquet files under the table dir WITHOUT
+        registering them. Returns store-relative paths for a later commit.
+        Invisible to readers until the commit manifest lands."""
+        tdir = os.path.join(self.root, name)
+        os.makedirs(tdir, exist_ok=True)
+        tmp = os.path.join(tdir, f".stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        out = []
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                dst = f"{uuid.uuid4().hex}-{f}"
+                os.rename(os.path.join(tmp, f), os.path.join(tdir, dst))
+                out.append(f"{name}/{dst}")
+        # best-effort cleanup of _SUCCESS etc.
+        for f in os.listdir(tmp):
+            os.remove(os.path.join(tmp, f))
+        os.rmdir(tmp)
+        return out
+
+    def stage_pandas(self, pdf, name: str, schema=None) -> list[str]:
+        """Stage a pandas DataFrame directly via pyarrow (driver-side small
+        tables: budgets, seen_filter buckets, crawl_jobs rows)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tdir = os.path.join(self.root, name)
+        os.makedirs(tdir, exist_ok=True)
+        dst = f"{uuid.uuid4().hex}-part-0.parquet"
+        table = (pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+                 if schema is not None
+                 else pa.Table.from_pandas(pdf, preserve_index=False))
+        pq.write_table(table, os.path.join(tdir, dst))
+        return [f"{name}/{dst}"]
+
+    # -- commit -------------------------------------------------------------
+
+    def commit(self, epoch: int, appends: dict | None = None,
+               replaces: dict | None = None, meta: dict | None = None) -> Snapshot:
+        """Atomically publish staged files. ``appends[name]`` extends the
+        table's file list; ``replaces[name]`` swaps it wholesale (small state
+        tables: politeness budgets). One rename = all-or-nothing."""
+        cur = self.snapshot()
+        tables = {k: list(v) for k, v in cur.tables.items()}
+        for name, files in (appends or {}).items():
+            tables.setdefault(name, [])
+            tables[name] = tables[name] + list(files)
+        for name, files in (replaces or {}).items():
+            tables[name] = list(files)
+        cid = cur.commit_id + 1
+        payload = {"commit_id": cid, "epoch": epoch, "tables": tables,
+                   "meta": meta or {}}
+        tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = self._commit_path(cid)
+        if os.path.exists(final):  # concurrent committer lost the race
+            os.remove(tmp)
+            raise RuntimeError(f"commit {cid} already exists")
+        os.rename(tmp, final)
+        return Snapshot(commit_id=cid, epoch=epoch, tables=tables,
+                        meta=meta or {})
+
+    # -- read ---------------------------------------------------------------
+
+    def files(self, name: str, commit_id: int | None = None) -> list[str]:
+        snap = self.snapshot(commit_id)
+        return [os.path.join(self.root, f) for f in snap.tables.get(name, [])]
+
+    def read(self, spark: "SparkSession", name: str,
+             commit_id: int | None = None) -> "DataFrame | None":
+        """Read a table at a snapshot; None if the table has no files yet."""
+        fs = self.files(name, commit_id)
+        if not fs:
+            return None
+        return spark.read.parquet(*fs)
