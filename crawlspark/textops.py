@@ -1,0 +1,480 @@
+"""Training-data pipeline operators over documents/embeddings (task brief:
+dedup, similarity search, text analysis, multimodal plumbing).
+
+These are first-class engine components for the 100 TB training-data use
+case. Where a DuckDB-expressible equivalent exists the query carries an
+oracle (driver value-hash gate); operators whose oracle would require
+UDF-grade logic (simhash packing, multimodal decode) are rows-only checks.
+
+Hash discipline: every hash used here is md5-prefix based
+(``crawlspark.functions.urls.hash64`` semantics) so Spark SQL, DuckDB SQL,
+and Python compute bit-identical values — that is what makes MinHash/LSH
+oracle-checkable at all.
+
+Scale notes per operator are in the docstrings: the point is not the sf0.01
+result but the plan shape that survives 10^10 documents.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+# 60-bit md5-prefix hash, identical in Spark SQL and DuckDB SQL
+SPARK_H60 = "conv(substring(md5({c}), 1, 15), 16, 10)"          # -> string, cast long
+DUCK_H60 = "CAST(('0x' || substr(md5({c}), 1, 15)) AS BIGINT)"
+
+# MinHash parameters (integer-exact on both engines: h is reduced mod p
+# before the affine map so a*h+b stays < 2^63)
+MH_P = 2147483647  # 2^31 - 1
+MH_COEF = [(443, 907), (571, 211), (727, 383), (911, 653),
+           (131, 829), (283, 547), (353, 97), (617, 769)]
+
+
+# =========================================================================
+# deduplication
+# =========================================================================
+
+@q("dedup_exact", """
+SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+       md5(lower(text)) AS fp
+FROM documents GROUP BY fp ORDER BY keeper_id
+""")
+def dedup_exact(spark, sf):
+    """Exact dedup by content hash (hash-groupBy). At 10^10 docs this is a
+    single shuffle on a 128-bit digest — group keys are uniform so AQE's
+    partition coalescing is enough; no skew handling needed."""
+    return (_t(spark, sf, "documents")
+            .groupBy(F.md5(F.lower(F.col("text"))).alias("fp"))
+            .agg(F.min("doc_id").alias("keeper_id"),
+                 F.count("*").alias("n_copies"))
+            .select("keeper_id", "n_copies", "fp")
+            .orderBy("keeper_id"))
+
+
+@q("dedup_ngram_jaccard", """
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(floor(len(list_intersect(a.ts, b.ts)) * 10000.0 /
+            (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))) AS BIGINT)
+       AS jaccard_bp
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+ORDER BY doc_a
+""")
+def dedup_ngram_jaccard(spark, sf):
+    """n-gram Jaccard similarity of adjacent doc pairs (integer basis points;
+    exact set algebra on both engines). The adjacent-pair join stands in for
+    the LSH-candidate verification step: at scale you never do all-pairs —
+    MinHash banding (dedup_minhash) produces the candidate pairs and THIS
+    exact Jaccard verifies them."""
+    d = (_t(spark, sf, "documents")
+         .select("doc_id",
+                 F.array_distinct(F.split("text", " ")).alias("ts")))
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
+    return (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.floor(inter * 10000.0 / union).cast("long")
+                    .alias("jaccard_bp"))
+            .orderBy("doc_a"))
+
+
+# MinHash oracle: bigram shingles via list_transform (order-free, no window
+# tricks), signature = 8 affine min-hashes, 4 bands of 2 rows each; candidate
+# pairs share >= 1 band.
+_MH_MINS_DUCK = ",\n         ".join(
+    f"min(({a} * (h % {MH_P}) + {b}) % {MH_P}) AS mh{j}"
+    for j, (a, b) in enumerate(MH_COEF))
+_MH_BANDS = [(0, 1), (2, 3), (4, 5), (6, 7)]
+_MH_BAND_DUCK = ", ".join(
+    f"md5(CAST(mh{i} AS VARCHAR) || '_' || CAST(mh{j} AS VARCHAR)) AS band{k}"
+    for k, (i, j) in enumerate(_MH_BANDS))
+
+ORACLE_SQL["dedup_minhash"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), hs AS (
+  SELECT doc_id, {DUCK_H60.format(c='shingle')} AS h FROM sh
+), sig AS (
+  SELECT doc_id, {_MH_MINS_DUCK}
+  FROM hs GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, {_MH_BAND_DUCK} FROM sig
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM (SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM bands) a
+  JOIN (SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM bands) b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, n_shared_bands FROM pairs ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash(spark, sf):
+    """MinHash + LSH banding near-dup candidates: bigram shingles ->
+    md5-based 60-bit hashes -> 8 affine min-hashes mod 2^31-1 -> 4 bands of 2
+    -> band-bucket self-join. Scale shape: the only shuffles are the
+    per-doc signature groupBy and the band-key join; band keys are uniform
+    hashes so the join is skew-free, and all-pairs comparison is never
+    materialized (SURVEY task brief: shingle->minhash->band->bucket-join)."""
+    docs = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("l"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))"
+        )).alias("shingle"))
+    hs = sh.select("doc_id",
+                   F.expr(SPARK_H60.format(c="shingle")).cast("long").alias("h"))
+    aggs = [F.min((F.lit(a) * (F.col("h") % MH_P) + F.lit(b)) % MH_P)
+            .alias(f"mh{j}") for j, (a, b) in enumerate(MH_COEF)]
+    sig = hs.groupBy("doc_id").agg(*aggs)
+    band_cols = [
+        F.md5(F.concat_ws("_", F.col(f"mh{i}").cast("string"),
+                          F.col(f"mh{j}").cast("string"))).alias(f"band{k}")
+        for k, (i, j) in enumerate(_MH_BANDS)]
+    bands = sig.select("doc_id", *band_cols)
+    melted = bands.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{k}") for k in range(4)])).alias("band"))
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared_bands"))
+            .orderBy("doc_a", "doc_b"))
+
+
+QUERIES["dedup_minhash"] = dedup_minhash
+
+
+SIMHASH_BITS = 32
+
+_SIM_VOTES_DUCK = ",\n         ".join(
+    f"sum(CASE WHEN (h32 >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+    for bit in range(SIMHASH_BITS))
+_SIM_PACK_DUCK = " + ".join(
+    f"(CASE WHEN v{bit} > 0 THEN {1 << bit} ELSE 0 END)"
+    for bit in range(SIMHASH_BITS))
+
+ORACLE_SQL["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hs AS (
+  SELECT doc_id, {DUCK_H60.format(c='tok')} % 4294967296 AS h32 FROM toks
+), votes AS (
+  SELECT doc_id, {_SIM_VOTES_DUCK} FROM hs GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIM_PACK_DUCK} AS BIGINT) AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+def dedup_simhash(spark, sf):
+    """SimHash document fingerprints: per-token md5-based 32-bit hash, signed
+    bit votes summed per doc, majority sign packs the fingerprint. All
+    JVM-side integer exprs (token explode -> one groupBy with 32 conditional
+    sums); near-dups at scale = fingerprints within small Hamming distance,
+    found by pigeonhole banding exactly like MinHash."""
+    toks = (_t(spark, sf, "documents")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
+    hs = toks.select(
+        "doc_id",
+        (F.expr(SPARK_H60.format(c="tok")).cast("long") % 4294967296).alias("h32"))
+    votes = [F.sum(F.when(F.expr(f"(h32 >> {bit}) & 1 = 1"), 1).otherwise(-1))
+             .alias(f"v{bit}") for bit in range(SIMHASH_BITS)]
+    v = hs.groupBy("doc_id").agg(*votes)
+    pack = None
+    for bit in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        pack = term if pack is None else pack + term
+    return (v.select("doc_id", pack.cast("long").alias("simhash"))
+            .orderBy("doc_id"))
+
+
+QUERIES["dedup_simhash"] = dedup_simhash
+
+
+@q("dedup_embedding", """
+WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
+FROM x a JOIN x b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+ORDER BY vec_a, vec_b
+""")
+def dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs above a threshold. The bounded slice
+    (vec_id < 150) stands in for one LSH bucket: at 10^10 scale the all-pairs
+    product only ever runs within buckets produced by ann_lsh-style sign
+    partitioning, never globally."""
+    e = (_t(spark, sf, "embeddings")
+         .filter(F.col("vec_id") < 150)
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("a.emb"), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.emb"), F.lit(0.0),
+                            lambda acc, x: acc + x * x))
+    cos = dot / (na * nb)
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos.alias("_cos"))
+            .filter(F.col("_cos") >= 0.35)
+            .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
+            .orderBy("vec_a", "vec_b"))
+
+
+# =========================================================================
+# similarity search
+# =========================================================================
+
+@q("ann_bruteforce", """
+WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qemb), 4) AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qemb) DESC, e.vec_id ASC
+LIMIT 10
+""")
+def ann_bruteforce(spark, sf):
+    """Brute-force cosine top-k for one query vector — the exact baseline an
+    ANN index is measured against. Plan shape: broadcast the query vector,
+    one narrow pass + TakeOrderedAndProject; at 100 TB this is the
+    within-bucket scorer behind ann_lsh's candidate routing."""
+    e = _t(spark, sf, "embeddings") \
+        .select("vec_id", "label",
+                F.col("embedding").cast("array<double>").alias("emb"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(F.zip_with(F.col("emb"), F.col("qemb"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a_, x: a_ + x * x))
+    nb = F.sqrt(F.aggregate(F.col("qemb"), F.lit(0.0), lambda a_, x: a_ + x * x))
+    cos = dot / (na * nb)
+    return (joined.select("vec_id", "label", cos.alias("_cos"))
+            .orderBy(F.desc("_cos"), F.asc("vec_id")).limit(10)
+            .select("vec_id", "label", F.round("_cos", 4).alias("cos_sim")))
+
+
+@q("ann_lsh", """
+SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket,
+       count(*) AS n, min(vec_id) AS min_vec
+FROM embeddings GROUP BY bucket ORDER BY bucket
+""")
+def ann_lsh(spark, sf):
+    """Sign-LSH bucketing (random-hyperplane family with axis-aligned planes
+    for determinism): 6 sign bits -> 64 buckets. This is the scale path for
+    similarity search: candidates are routed to one bucket's partition and
+    scored there (ann_bruteforce within the bucket) — a co-partitioned
+    equi-join instead of an all-pairs cross product."""
+    e = _t(spark, sf, "embeddings")
+    bucket = None
+    for i in range(6):
+        term = F.when(F.element_at("embedding", i + 1) > 0,
+                      F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return (e.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_vec"))
+            .orderBy("bucket"))
+
+
+# =========================================================================
+# text analysis
+# =========================================================================
+
+@q("token_count", """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       n_chars
+FROM documents ORDER BY doc_id
+""")
+def token_count(spark, sf):
+    """Whitespace token counting (JVM split; no Python). A BPE-ish regex
+    variant is exercised in quality_score's punctuation splitting."""
+    return (_t(spark, sf, "documents")
+            .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"),
+                    "n_chars")
+            .orderBy("doc_id"))
+
+
+@q("quality_score", """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+       CAST(floor(len(list_filter(toks, x -> x IN ('the', 'a'))) * 10000.0
+                  / len(toks)) AS BIGINT) AS stop_bp,
+       CAST(floor(n_chars * 100.0 / len(toks)) AS BIGINT) AS avg_wordlen_x100
+FROM t ORDER BY doc_id
+""")
+def quality_score(spark, sf):
+    """Document quality heuristics: token count, stopword ratio, mean word
+    length — the standard pre-training quality gates, all as integer basis
+    points so the oracle compare is exact."""
+    d = (_t(spark, sf, "documents")
+         .select("doc_id", F.split("text", " ").alias("toks"), "n_chars"))
+    n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
+    n_tok = F.size("toks")
+    return (d.select(
+        "doc_id", n_tok.alias("n_tokens"), n_stop.alias("n_stop"),
+        F.floor(n_stop * 10000.0 / n_tok).cast("long").alias("stop_bp"),
+        F.floor(F.col("n_chars") * 100.0 / n_tok).cast("long")
+        .alias("avg_wordlen_x100"))
+        .orderBy("doc_id"))
+
+
+@q("lang_id", """
+WITH p AS (
+  SELECT doc_id, lang,
+         CASE WHEN text LIKE '%the %' OR text LIKE '% the%' THEN 'en'
+              ELSE 'other' END AS pred
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en
+FROM p GROUP BY lang ORDER BY lang
+""")
+def lang_id(spark, sf):
+    """Language-ID heuristic (stopword-presence n-gram rule) evaluated
+    against the labeled lang column — the shape of a rule-based LID pass over
+    a crawl corpus (real models slot into the same projection)."""
+    d = _t(spark, sf, "documents")
+    pred = (F.when(F.col("text").like("%the %")
+                   | F.col("text").like("% the%"), "en")
+            .otherwise("other"))
+    return (d.select("lang", pred.alias("pred"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("pred") == "en", 1).otherwise(0))
+                 .alias("n_pred_en"))
+            .orderBy("lang"))
+
+
+@q("doc_fingerprint", """
+SELECT doc_id, md5(lower(text)) AS fp,
+       CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp60
+FROM documents ORDER BY doc_id LIMIT 300
+""")
+def doc_fingerprint(spark, sf):
+    """Content fingerprinting: md5 digest + 60-bit integer prefix (the same
+    hash64 discipline the crawl frontier uses for url_hash)."""
+    d = _t(spark, sf, "documents")
+    return (d.select(
+        "doc_id", F.md5(F.lower("text")).alias("fp"),
+        F.conv(F.substring(F.md5(F.lower("text")), 1, 15), 16, 10)
+        .cast("long").alias("fp60"))
+        .orderBy("doc_id").limit(300))
+
+
+# =========================================================================
+# multimodal plumbing (binary payload columns; rows-only checks)
+# =========================================================================
+
+def _image_table(spark):
+    from . import datagen
+
+    spec = datagen.GenSpec(seed=42, n_images=64, n_urls=64, n_hosts=4)
+    pdf = datagen.gen_image_caption(spec)
+    return spark.createDataFrame(pdf)
+
+
+def multimodal_meta(spark, sf):
+    """Multimodal column plumbing: an image table with an opaque binary
+    payload column flows through mapInPandas, which decodes per Arrow batch
+    and emits typed metadata (decode itself is the pure-numpy codec; a real
+    jpeg/webp decoder drops into the same UDF signature). Deterministic
+    in-memory fixture; rows-only driver check (no SQL-expressible oracle)."""
+    img = _image_table(spark)
+
+    def _meta(batches):
+        from . import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                rows.append({
+                    "image_id": r.image_id, "fmt": r.fmt,
+                    "w": int(r.w), "h": int(r.h),
+                    "n_bytes": len(r.bytes),
+                    "mean_lum_x100": int(
+                        (0.299 * dec[..., 0] + 0.587 * dec[..., 1]
+                         + 0.114 * dec[..., 2]).mean() * 100),
+                    "phash_ok": codecs.phash64(dec) == int(r.phash),
+                })
+            yield pd.DataFrame(rows)
+
+    schema = ("image_id string, fmt string, w int, h int, n_bytes long, "
+              "mean_lum_x100 long, phash_ok boolean")
+    return img.mapInPandas(_meta, schema=schema).orderBy("image_id")
+
+
+QUERIES["multimodal_meta"] = multimodal_meta
+
+
+def multimodal_resize(spark, sf):
+    """Thumbnail/resize stage: mapInPandas re-encodes each payload at half
+    resolution (area-mean downsample, raw output) and reports size reduction
+    — the Spark-side shape of an image preprocessing stage (batching,
+    binary-in/binary-out schema). Rows-only check."""
+    img = _image_table(spark)
+
+    def _resize(batches):
+        from . import codecs
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                h2, w2 = int(r.h) // 2, int(r.w) // 2
+                small = dec.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3))
+                buf = codecs.encode_image(small.astype("uint8"), "raw")
+                rows.append({"image_id": r.image_id, "w2": w2, "h2": h2,
+                             "n_bytes_out": len(buf)})
+            yield pd.DataFrame(rows)
+
+    return img.mapInPandas(
+        _resize, schema="image_id string, w2 int, h2 int, n_bytes_out long"
+    ).orderBy("image_id")
+
+
+QUERIES["multimodal_resize"] = multimodal_resize
