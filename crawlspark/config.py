@@ -53,9 +53,13 @@ class SparkTuning:
 
     master: str = "local[32]"
     shuffle_partitions: int = 32
-    driver_memory: str = "32g"
+    # 16g + throughput GC: measured on this box, allocation-heavy codegen
+    # (string concat/lpad in the URL generator) runs ~50x faster at 32
+    # threads than with the G1 default on a 32g heap (GC contention collapse)
+    driver_memory: str = "16g"
     app_name: str = "crawlspark"
     extra: dict = field(default_factory=dict)
+    gc_opts: str = "-XX:+UseParallelGC"
 
 
 def choose_prefix(remaining: dict, batch_size: int) -> int:

@@ -28,7 +28,31 @@ def supersede_order():
 
 def supersede(pending: DataFrame) -> DataFrame:
     """Collapse to one row per url_hash: max attempt wins (a retry replaces
-    the original frontier row), then latest backoff, then first-seen order."""
+    the original frontier row), then latest backoff, then first-seen order.
+
+    Implemented as an aggregation (``max_by`` over a lexicographic struct
+    key) rather than a window: map-side partial aggregation collapses
+    duplicates to one candidate per (url_hash, map partition) BEFORE the
+    shuffle, where a window must shuffle and globally sort every row — the
+    scale-relevant difference at 10^10 frontier rows. (Struct agg buffers
+    plan as SortAggregate, not HashAggregate; the partial combine is the
+    win, asserted in tests/test_plan_shape.py.)"""
+    cols = pending.columns
+    # struct comparison is lexicographic: (attempt desc, not_before desc,
+    # priority asc, seq asc) == max over (attempt, not_before, -priority, -seq)
+    order_key = F.struct(
+        F.col("attempt").alias("a"),
+        F.col("not_before_epoch").alias("b"),
+        (-F.col("priority")).alias("p"),
+        (-F.col("seq")).alias("s"))
+    return (pending.groupBy("url_hash")
+            .agg(F.max_by(F.struct(*cols), order_key).alias("_w"))
+            .select("_w.*"))
+
+
+def supersede_window(pending: DataFrame) -> DataFrame:
+    """Window-based reference implementation of :func:`supersede` (kept for
+    the equivalence test; identical output ordering semantics)."""
     w = Window.partitionBy("url_hash").orderBy(*supersede_order())
     return (pending.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))

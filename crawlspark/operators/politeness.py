@@ -36,7 +36,8 @@ N_SALTS = 16
 ORDER_COLS = ("priority", "seq", "url_hash")
 
 
-def availability(budgets: DataFrame, epoch: int) -> DataFrame:
+def availability(budgets: DataFrame, epoch: int,
+                 extra_cols: tuple = ()) -> DataFrame:
     """Per-host available tokens this epoch (integer math only)."""
     return budgets.select(
         "host",
@@ -45,6 +46,7 @@ def availability(budgets: DataFrame, epoch: int) -> DataFrame:
                            F.col("tokens") + F.col("refill_per_epoch")))
         .cast("int").alias("avail"),
         "capacity", "refill_per_epoch", "backoff_until_epoch",
+        *extra_cols,
     )
 
 
@@ -53,15 +55,29 @@ def _order():
 
 
 def admit(candidates: DataFrame, budgets: DataFrame, epoch: int,
-          batch_size: int, max_capacity: int = 64) -> DataFrame:
+          batch_size: int, max_capacity: int = 64,
+          host_key: str = "host") -> DataFrame:
     """Returns the admitted batch with ``admission_idx`` (0-based position in
     global crawl order) — the engine's TakeOrderedAndProject with a per-host
-    cap. ``budgets`` is broadcast (small dim per north_rule)."""
-    avail = availability(budgets, epoch)
+    cap. ``budgets`` is broadcast (small dim per north_rule).
 
-    w_salt = (Window.partitionBy("host", F.pmod(F.col("url_hash"), F.lit(N_SALTS)))
+    ``host_key="host_hash"`` lets a caller schedule on compact hashed keys
+    (late materialization: URL/host strings never enter the shuffles). If
+    ``budgets`` already carries that column it is used as-is (the caller
+    guarantees it matches the candidates' hashing); otherwise it is derived
+    with the engine's canonical ``hash64`` (functions.urls.hash64_col)."""
+    if host_key != "host" and host_key in budgets.columns:
+        avail = availability(budgets, epoch, extra_cols=(host_key,))
+    else:
+        avail = availability(budgets, epoch)
+        if host_key != "host":
+            from ..functions.urls import hash64_col
+
+            avail = avail.withColumn(host_key, hash64_col(F.col("host")))
+
+    w_salt = (Window.partitionBy(host_key, F.pmod(F.col("url_hash"), F.lit(N_SALTS)))
               .orderBy(*_order()))
-    w_host = Window.partitionBy("host").orderBy(*_order())
+    w_host = Window.partitionBy(host_key).orderBy(*_order())
 
     pruned = (candidates
               .withColumn("_sr", F.row_number().over(w_salt))
@@ -69,7 +85,7 @@ def admit(candidates: DataFrame, budgets: DataFrame, epoch: int,
               .drop("_sr"))
     ranked = (pruned
               .withColumn("_hr", F.row_number().over(w_host))
-              .join(F.broadcast(avail.select("host", "avail")), "host", "left")
+              .join(F.broadcast(avail.select(host_key, "avail")), host_key, "left")
               .na.fill({"avail": 0})
               .filter(F.col("_hr") <= F.col("avail"))
               .drop("_hr", "avail"))

@@ -20,6 +20,10 @@ def get_spark(tuning: SparkTuning | None = None) -> SparkSession:
     b = (
         SparkSession.builder.master(t.master)
         .appName(t.app_name)
+        # tmpfs shuffle dirs in local mode (the single-box analog of striped
+        # executor-local NVMe); harmless no-op default elsewhere
+        .config("spark.local.dir",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.sql.shuffle.partitions", str(t.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -27,6 +31,7 @@ def get_spark(tuning: SparkTuning | None = None) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", t.driver_memory)
+        .config("spark.driver.extraJavaOptions", t.gc_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )

@@ -1,0 +1,94 @@
+"""Plan-shape assertions (SURVEY.md §5.6): the physical plans Catalyst picks
+must be the ones the engine is designed around — filters and projections
+pushed into the parquet scan, small dims broadcast, no cartesian products,
+whole-stage codegen on the hot paths. A correct-but-mis-planned operator is
+a scale bug even when row-for-row right.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf001):
+    return spark.read.parquet(f"{sf001}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf001):
+    return spark.read.parquet(f"{sf001}/customer.parquet")
+
+
+def test_filter_pushdown_to_parquet(orders):
+    """S3/F8: equality + range predicates reach the scan as PushedFilters."""
+    df = orders.filter((F.col("o_orderkey") == 42) &
+                       (F.col("o_totalprice") > 1000.0)).select("o_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(o_orderkey)" in plan or "EqualTo(o_orderkey,42)" in plan
+    assert "GreaterThan(o_totalprice" in plan
+
+
+def test_column_pruning(orders):
+    """A 2-column projection must not read all 9 orders columns."""
+    df = orders.select("o_orderkey", "o_custkey")
+    plan = plan_of(df)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs, plan
+    assert "o_orderkey" in rs[0] and "o_custkey" in rs[0]
+    assert "o_comment" not in rs[0] and "o_totalprice" not in rs[0]
+
+
+def test_small_dim_join_broadcasts(orders, customer):
+    """J1/J4: the customer dim side goes over BroadcastExchange/
+    BroadcastHashJoin — never a shuffle for a small dim."""
+    df = orders.join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+                     orders["o_custkey"] == customer["c_custkey"])
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anti_join_no_cartesian(spark, orders):
+    """J2: the dedup anti-join plans as a hash/broadcast join."""
+    seen = orders.select("o_orderkey").limit(100)
+    df = orders.join(seen, "o_orderkey", "left_anti")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hot_path_is_whole_stage_codegen(orders):
+    """C-family scalar exprs stay inside WholeStageCodegen (no Python in
+    the hot path)."""
+    df = (orders
+          .withColumn("fn", F.concat_ws("/", "o_orderpriority", "o_orderstatus"))
+          .withColumn("clean", F.regexp_replace("o_orderpriority", "[\\t\\n]", " "))
+          .filter(F.col("o_totalprice").between(100, 200000)))
+    plan = plan_of(df)
+    assert "codegen id" in plan  # formatted-mode marker for WholeStageCodegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_supersede_partial_agg_no_window(spark):
+    """The frontier dedup must plan as an aggregate WITH map-side partial
+    (duplicates collapse before the shuffle) and no Window — at 10^10 rows a
+    window would shuffle and sort every row globally."""
+    from crawlspark.operators import dedup
+
+    frontier = spark.range(1000).select(
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 7).alias("host_hash"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+        F.col("id").alias("seq"),
+        F.lit(0).cast("int").alias("attempt"),
+        F.lit(0).cast("int").alias("not_before_epoch"))
+    plan = plan_of(dedup.supersede(frontier))
+    assert "partial_max_by" in plan  # map-side combine
+    assert "Window" not in plan
