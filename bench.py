@@ -189,6 +189,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.frontier_only:
+        # AQE off for the scaling measurement: its per-stage driver
+        # re-planning is a fixed serial cost (~25% wall at this scale) that
+        # the fixed-shape frontier job doesn't need — partition counts are
+        # chosen explicitly
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         # one JIT warm-up pass at 1/10 scale so codegen/JIT cost doesn't
         # pollute the scaling-efficiency comparison, then best-of-2 with a
         # per-run generator salt: each run has fresh lineage, so shuffle-file

@@ -464,6 +464,50 @@ def epoch_counters(spark, sf):
             .orderBy("day"))
 
 
+@q("windowed_agg", """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+""")
+def windowed_agg(spark, sf):
+    """Tumbling event-time window aggregation — the batch-checkable form of
+    the engine's streaming per-host discovery-rate operator
+    (crawlspark.streaming.ingest.host_discovery_rates; Structured Streaming
+    adds withWatermark on the same plan). Integer cents avoid float-sum
+    nondeterminism across engines."""
+    return (_t(spark, sf, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("sum_cents"))
+            .select(F.date_format("w.start", TS).alias("window_start"),
+                    "event_type", "n_events", "sum_cents")
+            .orderBy("window_start", "event_type"))
+
+
+@q("json_props", """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       count(*) AS n, min(event_id) AS first_event
+FROM events
+GROUP BY k HAVING count(*) > 20 ORDER BY k
+""")
+def json_props(spark, sf):
+    """C7: JSON metadata parse (ref: crawl_jobs.metadata JSONB,
+    migrations/001_initial_schema.sql:168, serialized database.py:377,415,
+    parsed :459) — from_json into a typed struct, then relational ops."""
+    schema = "k BIGINT"
+    return (_t(spark, sf, "events")
+            .withColumn("j", F.from_json("props", schema))
+            .groupBy(F.col("j.k").alias("k"))
+            .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))
+            .filter(F.col("n") > 20)
+            .orderBy("k"))
+
+
 @q("strata_card", """
 SELECT o_orderpriority AS stratum, count(*) AS n
 FROM orders GROUP BY stratum ORDER BY stratum

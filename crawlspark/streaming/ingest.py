@@ -1,0 +1,135 @@
+"""Structured-Streaming ingest of URL discoveries into the frontier.
+
+The reference's crawl is pull-based (its async page loop,
+/root/reference/src/infrastructure/github_api.py:467-686, has no push
+source), so the batch epoch loop in ``plans.crawler`` is the primary engine.
+This module is the push-shaped complement a production crawler needs: newly
+*discovered* URLs (outlinks, sitemap hits, resubmissions) arrive as a stream
+and are folded into the frontier table continuously, deduped against
+url_seen, while per-host discovery rates are tracked with event-time windows
++ watermarks (late discoveries tolerated up to the watermark).
+
+Spark-first shape:
+  * file/rate source -> ``withWatermark`` -> window agg (JVM only), and
+  * ``foreachBatch`` for the frontier fold-in (the sink needs the same
+    supersede/anti-join/atomic-commit semantics as a batch epoch, which a
+    streaming sink can't express directly — exactly the micro-batch pattern
+    Structured Streaming documents for upsert sinks).
+
+At 10^10 scale the stream is partitioned by the same host-hash buckets as
+the frontier, so fold-in commits touch only the buckets that saw discoveries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import dedup
+from ..tables import SnapshotStore
+
+DISCOVERY_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("priority", T.IntegerType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("image_id", T.StringType()),
+    T.StructField("discovered_at", T.TimestampType()),
+])
+
+
+def discovery_file_stream(spark: SparkSession, path: str,
+                          max_files_per_trigger: int = 4) -> DataFrame:
+    """Streaming source over a directory of discovery parquet files (the
+    offline stand-in for a Kafka topic of outlink discoveries)."""
+    return (spark.readStream
+            .schema(DISCOVERY_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def enrich_discoveries(raw: DataFrame) -> DataFrame:
+    """Canonical frontier columns from raw discoveries — all JVM exprs except
+    the canonicalize+hash pandas UDF (V1, vectorized per north_rule)."""
+    from ..functions.urls import canonical_url_udf, hash64_col
+
+    canon = canonical_url_udf()
+    with_canon = raw.withColumn("_canon", canon(F.col("url")))
+    host = F.coalesce(F.parse_url(F.col("_canon"), F.lit("HOST")), F.lit(""))
+    return (with_canon
+            .withColumn("url_hash", hash64_col(F.col("_canon")))
+            .withColumn("host", host)
+            .withColumn("host_hash", hash64_col(host))
+            .withColumn("attempt", F.lit(0).cast("int"))
+            .withColumn("not_before_epoch", F.lit(0).cast("int"))
+            .drop("_canon"))
+
+
+def host_discovery_rates(discoveries: DataFrame, window: str = "1 minute",
+                         watermark: str = "2 minutes") -> DataFrame:
+    """Event-time windowed per-host discovery counts with late-data tolerance
+    (watermark). Pure JVM window agg — streaming state is bounded by the
+    watermark horizon x active hosts."""
+    host = F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
+    return (discoveries
+            .withColumn("host", F.lower(host))
+            .withWatermark("discovered_at", watermark)
+            .groupBy(F.window("discovered_at", window).alias("w"), "host")
+            .agg(F.count("*").alias("n_discovered"))
+            .select(F.col("w.start").alias("window_start"), "host",
+                    "n_discovered"))
+
+
+def fold_into_frontier(spark: SparkSession, stream: DataFrame,
+                       store: SnapshotStore, checkpoint_dir: str):
+    """foreachBatch sink: per micro-batch, supersede-dedup within the batch,
+    drop urls already in url_seen or already enqueued, then append to the
+    stratum files and bump the remaining counters — one atomic snapshot
+    commit per micro-batch, resumable like any epoch."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = dedup.supersede(batch_df.select(
+            "url", "url_hash", "host", "host_hash", "priority", "seq",
+            "image_id", "attempt", "not_before_epoch", "discovered_at"))
+        seen = store.read(spark, "url_seen")
+        if seen is not None:
+            batch = batch.join(seen.select("url_hash"), "url_hash", "left_anti")
+        enqueued = store.read(spark, "frontier")
+        if enqueued is not None:
+            batch = batch.join(enqueued.select("url_hash"), "url_hash",
+                               "left_anti")
+        batch = batch.persist()
+        counts = {int(r["priority"]): int(r["n"]) for r in
+                  batch.groupBy("priority").agg(F.count("*").alias("n"))
+                  .collect()}
+        if not counts:
+            batch.unpersist()
+            return
+        snap = store.snapshot()
+        remaining = {int(k): int(v) for k, v in
+                     snap.meta.get("remaining_by_priority", {}).items()}
+        files_by_p = dict(snap.meta.get("frontier_files_by_priority", {}))
+        appends: dict = {"frontier": []}
+        for p in sorted(counts):
+            fs = store.stage(batch.filter(F.col("priority") == p), "frontier")
+            files_by_p.setdefault(str(p), [])
+            files_by_p[str(p)] = files_by_p[str(p)] + fs
+            appends["frontier"].extend(fs)
+            remaining[p] = remaining.get(p, 0) + counts[p]
+        store.commit(
+            epoch=int(snap.meta.get("last_epoch", -1)),
+            appends=appends,
+            meta={**snap.meta,
+                  "remaining_by_priority":
+                      {str(k): v for k, v in remaining.items()},
+                  "frontier_files_by_priority": files_by_p,
+                  "last_discovery_batch": int(batch_id)})
+        batch.unpersist()
+
+    return (stream.writeStream
+            .foreachBatch(_fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,127 @@
+"""Structured-Streaming ingest tests (crawlspark.streaming.ingest):
+
+* discovery stream folds into the frontier with supersede + seen/enqueued
+  dedup, one atomic snapshot commit per micro-batch;
+* counters (remaining_by_priority) stay exact vs a batch recomputation;
+* event-time windowed per-host discovery rates (watermark path) equal the
+  batch groupBy over the same data once the stream drains (availableNow).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import datagen
+from crawlspark.streaming import ingest
+from tests.crawl_fixtures import SMALL, init_store, write_fixtures
+
+DISC_COLS = ["url", "priority", "seq", "image_id", "discovered_at"]
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fixtures")
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp), str(tmp_path_factory.mktemp("store")))
+
+    # discoveries: a fresh frontier slice (different seed -> new urls, plus
+    # natural overlaps with the enqueued frontier via shared hosts/images)
+    disc_spec = datagen.GenSpec(seed=99, n_images=SMALL.n_images,
+                                n_urls=300, n_hosts=SMALL.n_hosts,
+                                n_strata=SMALL.n_strata)
+    disc = datagen.gen_frontier(disc_spec)[DISC_COLS]
+    disc["priority"] = disc["priority"].astype("int32")
+    # spread event time over ~50 min so multiple 1-min windows close under
+    # a 2-min watermark (append mode emits only closed windows)
+    import numpy as np
+    import pandas as pd
+    disc["discovered_at"] = (
+        pd.Timestamp("2026-01-01T00:00:00Z")
+        + pd.to_timedelta(np.arange(len(disc)) * 10, unit="s")
+    ).astype("datetime64[us, UTC]")
+    ddir = tmp_path_factory.mktemp("discoveries")
+    for i, chunk in enumerate((disc.iloc[:100], disc.iloc[100:200],
+                               disc.iloc[200:])):
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False),
+                       os.path.join(str(ddir), f"chunk-{i}.parquet"))
+    return dict(store=store, ddir=str(ddir), disc=disc,
+                ckpt=str(tmp_path_factory.mktemp("ckpt")))
+
+
+def test_fold_into_frontier(spark, setup):
+    store = setup["store"]
+    before = store.read(spark, "frontier").toPandas()
+    raw = ingest.discovery_file_stream(spark, setup["ddir"],
+                                       max_files_per_trigger=1)
+    enriched = ingest.enrich_discoveries(raw)
+    q = ingest.fold_into_frontier(spark, enriched, store, setup["ckpt"])
+    q.awaitTermination(180)
+
+    after = store.read(spark, "frontier").toPandas()
+    assert len(after) > len(before)
+    # frontier urls stay unique post-fold (supersede + anti-joins)
+    new_rows = after[~after["url_hash"].isin(set(before["url_hash"]))]
+    assert new_rows["url_hash"].is_unique
+    # no discovery that was already enqueued got re-added
+    assert len(set(new_rows["url_hash"]) & set(before["url_hash"])) == 0
+    # counters match an exact recount of appended files
+    snap = store.snapshot()
+    remaining = {int(k): v for k, v in
+                 snap.meta["remaining_by_priority"].items()}
+    recount = after.groupby("priority").size().to_dict()
+    # epochs haven't run here, so remaining == enqueued per stratum
+    assert remaining == {int(k): int(v) for k, v in recount.items()}
+    assert "last_discovery_batch" in snap.meta
+
+
+def test_fold_is_idempotent_on_restart(spark, setup):
+    """Re-running the stream over the same directory + checkpoint adds
+    nothing (exactly-once fold per micro-batch)."""
+    store = setup["store"]
+    before = store.read(spark, "frontier").count()
+    raw = ingest.discovery_file_stream(spark, setup["ddir"])
+    q = ingest.fold_into_frontier(spark, ingest.enrich_discoveries(raw),
+                                  store, setup["ckpt"])
+    q.awaitTermination(120)
+    assert store.read(spark, "frontier").count() == before
+
+
+def test_windowed_host_rates_match_batch(spark, setup, tmp_path_factory):
+    out = f"rates_{id(setup)}"
+    raw = ingest.discovery_file_stream(spark, setup["ddir"])
+    q = (ingest.host_discovery_rates(raw, window="1 minute",
+                                     watermark="2 minutes")
+         .writeStream.format("memory").queryName(out)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {out}").toPandas()
+
+    batch = (spark.read.schema(ingest.DISCOVERY_SCHEMA)
+             .parquet(setup["ddir"]))
+    exp = _batch_rates(batch).toPandas()
+    # append mode emits only windows the final watermark passed; compare on
+    # the closed-window prefix (watermark = max event time - 2 min)
+    import pandas as pd
+    max_ts = setup["disc"]["discovered_at"].max().tz_localize(None)
+    horizon = max_ts - pd.Timedelta(minutes=2) - pd.Timedelta(minutes=1)
+    exp = exp[exp["window_start"] <= horizon]
+    assert len(exp) >= 10  # fixture really exercises multiple closed windows
+    key = ["window_start", "host"]
+    got_s = (got[got["window_start"] <= horizon]
+             .sort_values(key).reset_index(drop=True))
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert got_s[key + ["n_discovered"]].equals(exp_s[key + ["n_discovered"]])
+
+
+def _batch_rates(df):
+    host = F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit(""))
+    return (df.withColumn("host", F.lower(host))
+            .groupBy(F.window("discovered_at", "1 minute").alias("w"), "host")
+            .agg(F.count("*").alias("n_discovered"))
+            .select(F.col("w.start").alias("window_start"), "host",
+                    "n_discovered"))
