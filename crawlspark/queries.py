@@ -508,6 +508,59 @@ def json_props(spark, sf):
             .orderBy("k"))
 
 
+@q("session_window", """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""")
+def session_window(spark, sf):
+    """Session windows (30-min inactivity gap) per user — Spark's native
+    F.session_window vs a gaps-and-islands oracle. In streaming this same
+    plan runs under withWatermark; no watermark needed in batch. (The
+    reference has no event-time ops; this is engine surface beyond it,
+    SURVEY.md §2.8 note.)"""
+    return (_t(spark, sf, "events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.date_format("w.start", TS_US).alias("session_start"),
+                    "n_events")
+            .orderBy("user_id", "session_start"))
+
+
+@q("rollup_counts", """
+SELECT coalesce(o_orderpriority, 'ALL') AS stratum,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY stratum, status
+""")
+def rollup_counts(spark, sf):
+    """§2.4 note: hierarchical subtotal aggregation (ROLLUP) — free from
+    Spark once the plan is declarative; partial aggregation applies to every
+    grouping set."""
+    return (_t(spark, sf, "orders")
+            .rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n"))
+            .select(F.coalesce("o_orderpriority", F.lit("ALL")).alias("stratum"),
+                    F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    "n")
+            .orderBy("stratum", "status"))
+
+
 @q("strata_card", """
 SELECT o_orderpriority AS stratum, count(*) AS n
 FROM orders GROUP BY stratum ORDER BY stratum
