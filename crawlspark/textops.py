@@ -316,6 +316,67 @@ def ann_lsh(spark, sf):
             .orderBy("bucket"))
 
 
+@q("ann_ivf", """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  WHERE vec_id % 64 = 1
+), assign AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid)
+           AS rnk
+  FROM embeddings e CROSS JOIN cents c
+), lists AS (
+  SELECT vec_id, label, embedding, cid FROM assign WHERE rnk = 1
+), probe AS (
+  SELECT cid FROM lists WHERE vec_id = 0
+)
+SELECT l.vec_id, l.label,
+       round(list_cosine_similarity(
+         l.embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4)
+         AS cos_sim
+FROM lists l JOIN probe p ON l.cid = p.cid
+WHERE l.vec_id != 0
+ORDER BY cos_sim DESC, l.vec_id ASC LIMIT 10
+""")
+def ann_ivf(spark, sf):
+    """IVF approximate nearest neighbor: a deterministic coarse quantizer
+    (every 64th vector is a centroid) assigns vectors to inverted lists; the
+    query probes only its own list (nprobe=1) and brute-force-scores there.
+    Plan shape at 100 TB: centroids broadcast, assignment is one narrow pass,
+    lists are the partitioning key — the probe reads ~1/C of the data where
+    brute force reads all of it (ann_bruteforce is the exact baseline)."""
+    e = (_t(spark, sf, "embeddings")
+         .select("vec_id", "label",
+                 F.col("embedding").cast("array<double>").alias("emb")))
+    cents = (e.filter(F.col("vec_id") % 64 == 1)
+             .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")))
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+        return dot / (na * nb)
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_sim"), F.asc("cid"))
+    lists = (e.crossJoin(F.broadcast(cents))
+             .withColumn("_sim", cos(F.col("emb"), F.col("cemb")))
+             .withColumn("_rnk", F.row_number().over(w))
+             .filter(F.col("_rnk") == 1)
+             .select("vec_id", "label", "emb", "cid"))
+    qrow = lists.filter(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid"), F.col("emb").alias("qemb"))
+    return (lists.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(qrow), F.col("cid") == F.col("qcid"))
+            .select("vec_id", "label",
+                    F.round(cos(F.col("emb"), F.col("qemb")), 4)
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
+
+
 # =========================================================================
 # text analysis
 # =========================================================================
