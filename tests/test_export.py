@@ -1,0 +1,67 @@
+"""Export sinks + footer-based stats (S9/S10/A7)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from crawlspark.plans.crawler import run_crawl
+from crawlspark.sources.export import (export_csv, export_json,
+                                       latest_crawl_ts, table_stats)
+from tests.crawl_fixtures import SMALL, SMALL_CFG, init_store, write_fixtures
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fixtures")
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp), str(tmp_path_factory.mktemp("store")))
+    images = spark.read.parquet(str(tmp / "image_caption.parquet"))
+    run_crawl(spark, store, images, SMALL_CFG, max_epochs=4)
+    return store
+
+
+def test_export_csv_roundtrip(spark, crawled, tmp_path):
+    log = crawled.read(spark, "crawl_log")
+    out = str(tmp_path / "csv")
+    export_csv(log, out, single_file=True)
+    files = glob.glob(f"{out}/*.csv")
+    assert len(files) == 1
+    back = (spark.read.option("header", "true").csv(out))
+    assert back.count() == log.count()
+    assert set(back.columns) == set(log.columns)
+    # ISO timestamp strings, None -> ''
+    ts = [r["fetched_at"] for r in back.select("fetched_at").limit(3).collect()]
+    assert all("T" in t for t in ts)
+
+
+def test_export_json_roundtrip(spark, crawled, tmp_path):
+    log = crawled.read(spark, "crawl_log")
+    out = str(tmp_path / "json")
+    export_json(log, out, single_file=True)
+    files = glob.glob(f"{out}/*.json")
+    assert len(files) == 1
+    with open(files[0]) as fh:
+        first = json.loads(fh.readline())
+    assert "url_hash" in first and "status" in first
+
+
+def test_table_stats_footer_only(spark, crawled):
+    stats = table_stats(spark, crawled).toPandas().set_index("table")
+    log = crawled.read(spark, "crawl_log")
+    assert int(stats.loc["crawl_log", "n_rows"]) == log.count()
+    assert (stats["n_bytes"] > 0).all()
+    assert "url_seen" in stats.index and "crawl_jobs" in stats.index
+
+
+def test_latest_crawl_ts(spark, crawled):
+    got = latest_crawl_ts(spark, crawled)
+    from pyspark.sql import functions as F
+    exact = crawled.read(spark, "crawl_log").agg(
+        F.max("fetched_at").alias("m")).collect()[0]["m"]
+    assert got is not None
+    # footer statistics give the exact max for timestamp columns
+    assert str(got)[:19] == str(exact)[:19]
