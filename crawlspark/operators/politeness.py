@@ -79,14 +79,23 @@ def admit(candidates: DataFrame, budgets: DataFrame, epoch: int,
               .orderBy(*_order()))
     w_host = Window.partitionBy(host_key).orderBy(*_order())
 
-    pruned = (candidates
+    # broadcast-join avail BEFORE the windows: hosts with no budget this
+    # epoch (backed off / drained) drop before any sort, and phase 1 caps at
+    # each host's own avail rather than the global max — both prune shuffle
+    # volume; phase 1 stays lossless (a row in the host's true top-avail is
+    # in its salt group's top-avail)
+    budgeted = (candidates
+                .join(F.broadcast(avail.select(host_key, "avail")),
+                      host_key, "left")
+                .na.fill({"avail": 0})
+                .filter(F.col("avail") > 0))
+    pruned = (budgeted
               .withColumn("_sr", F.row_number().over(w_salt))
-              .filter(F.col("_sr") <= max_capacity)
+              .filter(F.col("_sr") <= F.least(F.col("avail"),
+                                              F.lit(max_capacity)))
               .drop("_sr"))
     ranked = (pruned
               .withColumn("_hr", F.row_number().over(w_host))
-              .join(F.broadcast(avail.select(host_key, "avail")), host_key, "left")
-              .na.fill({"avail": 0})
               .filter(F.col("_hr") <= F.col("avail"))
               .drop("_hr", "avail"))
     admitted = (ranked.orderBy(*_order()).limit(batch_size)
