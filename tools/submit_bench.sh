@@ -5,6 +5,10 @@
 # (real separate executor JVMs); swap --master for yarn/k8s on a real cluster.
 #
 # Usage: tools/submit_bench.sh [master] [n_urls]
+#
+# Note: after the JSON result line prints, local-cluster teardown can log a
+# harmless "Master removed our application" race inside spark.stop() — the
+# bench itself has already completed.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
