@@ -109,13 +109,17 @@ FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
 """)
 def paginated_scan(spark, sf):
     """S5: ORDER BY ... LIMIT/OFFSET pagination
-    (ref: src/infrastructure/database.py:273-298)."""
-    w = Window.orderBy("o_orderkey")
+    (ref: src/infrastructure/database.py:273-298).
+
+    Native offset+limit (Spark >= 3.4) plans as a global limit over
+    TakeOrderedAndProject — each partition contributes at most
+    offset+limit rows, then one merge. The alternative (row_number over an
+    unpartitioned Window) funnels EVERY row through a single task and dies
+    at 100x scale."""
     return (_t(spark, sf, "orders")
             .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") > 100) & (F.col("_rn") <= 150))
-            .drop("_rn"))
+            .orderBy("o_orderkey")
+            .offset(100).limit(50))
 
 
 @q("stale_topk", f"""
@@ -446,8 +450,8 @@ def max_ts(spark, sf):
 @q("epoch_counters", """
 SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
        count(*) AS processed,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS created,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS updated
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS created,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS updated
 FROM orders GROUP BY day ORDER BY day
 """)
 def epoch_counters(spark, sf):
@@ -575,7 +579,7 @@ def strata_card(spark, sf):
 
 @q("budget_usage", """
 SELECT user_id,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) AS used_cents,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS used_cents,
        CAST(floor(sum(CAST(round(value * 100, 0) AS BIGINT)) / 10.0) AS BIGINT) AS usage_bp,
        (sum(CAST(round(value * 100, 0) AS BIGINT)) >= 100000) AS exhausted
 FROM events GROUP BY user_id ORDER BY user_id

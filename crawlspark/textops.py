@@ -221,22 +221,42 @@ def dedup_simhash(spark, sf):
 QUERIES["dedup_simhash"] = dedup_simhash
 
 
-@q("dedup_embedding", """
-WITH x AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 150)
+_EMB_BUCKET_DUCK = " + ".join(
+    f"CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(3))
+
+ORACLE_SQL["dedup_embedding"] = f"""
+WITH x AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         ({_EMB_BUCKET_DUCK}) AS bucket
+  FROM embeddings WHERE vec_id < 150
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
-FROM x a JOIN x b ON a.vec_id < b.vec_id
+FROM x a JOIN x b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
 ORDER BY vec_a, vec_b
-""")
+"""
+
+
 def dedup_embedding(spark, sf):
-    """Embedding-cosine near-dup pairs above a threshold. The bounded slice
-    (vec_id < 150) stands in for one LSH bucket: at 10^10 scale the all-pairs
-    product only ever runs within buckets produced by ann_lsh-style sign
-    partitioning, never globally."""
+    """Embedding-cosine near-dup pairs above a threshold, candidate-routed
+    through a sign-LSH bucket (the ann_lsh hyperplane family, 3 bits -> 8
+    buckets): pairs are only compared when they land in the same bucket, so
+    the join is a bucket EQUI-join (shuffle-hash/SMJ, never
+    BroadcastNestedLoop), and each task only does all-pairs within its own
+    bucket. Near-dup vectors have near-identical sign patterns, so recall
+    loss is the standard LSH trade — at 10^10 scale you'd OR several bucket
+    tables exactly like MinHash bands. tests/test_plan_shape.py asserts no
+    nested-loop join in this plan."""
     e = (_t(spark, sf, "embeddings")
          .filter(F.col("vec_id") < 150)
          .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
+    bucket = None
+    for i in range(3):
+        term = F.when(F.element_at("emb", i + 1) > 0,
+                      F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    e = e.withColumn("bucket", bucket)
     a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
@@ -246,13 +266,17 @@ def dedup_embedding(spark, sf):
     nb = F.sqrt(F.aggregate(F.col("b.emb"), F.lit(0.0),
                             lambda acc, x: acc + x * x))
     cos = dot / (na * nb)
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     cos.alias("_cos"))
             .filter(F.col("_cos") >= 0.35)
             .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
             .orderBy("vec_a", "vec_b"))
+
+
+QUERIES["dedup_embedding"] = dedup_embedding
 
 
 # =========================================================================
@@ -431,7 +455,7 @@ WITH p AS (
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS n_pred_en
+       CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
 FROM p GROUP BY lang ORDER BY lang
 """)
 def lang_id(spark, sf):

@@ -76,6 +76,28 @@ def test_hot_path_is_whole_stage_codegen(orders):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_paginated_scan_native_offset(spark, sf001):
+    """S5: LIMIT/OFFSET pagination must plan as TakeOrderedAndProject with a
+    native offset — never a row_number over an unpartitioned Window, which
+    funnels every row through one task."""
+    from crawlspark.queries import QUERIES
+
+    plan = plan_of(QUERIES["paginated_scan"](spark, sf001))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_dedup_embedding_no_nested_loop(spark, sf001):
+    """Embedding near-dup pairs join on a sign-LSH bucket equi-key: the plan
+    must be a hash/sort-merge/broadcast-hash join, never BroadcastNestedLoop
+    or a cartesian product (all-pairs does not survive 10^10 vectors)."""
+    from crawlspark.textops import QUERIES
+
+    plan = plan_of(QUERIES["dedup_embedding"](spark, sf001))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_supersede_partial_agg_no_window(spark):
     """The frontier dedup must plan as an aggregate WITH map-side partial
     (duplicates collapse before the shuffle) and no Window — at 10^10 rows a
