@@ -140,6 +140,11 @@ def bench_frontier(spark: SparkSession, n: int, batch_size: int = 10_000,
     compact = frontier.select("url_hash", "host_hash", "priority", "seq",
                               "attempt", "not_before_epoch")
     cand = dedup.supersede(compact)                        # first-seen dedup
+    # attempt/not_before_epoch are admission GATES, applied before the pop
+    # (epoch.py filters them ahead of admit); past supersede they carry no
+    # information, so drop them before the anti-join + admission shuffles —
+    # ~32 B/row instead of ~48 B/row through both shuffle exchanges
+    cand = cand.select("url_hash", "host_hash", "priority", "seq")
     fresh = cand.join(url_seen, "url_hash", "left_anti")   # persistent seen set
     admitted = politeness.admit(fresh, budgets, epoch=0, batch_size=batch_size,
                                 host_key="host_hash")
@@ -173,6 +178,24 @@ def run_headline(spark: SparkSession) -> dict:
     return times
 
 
+def latest_round_bench() -> dict | None:
+    """Most recent driver-recorded BENCH_r{N}.json — the per-round ledger the
+    current run is compared against (a query regressing >1.25x vs the prior
+    round is flagged in the output)."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")))
+    if not files:
+        return None
+    with open(files[-1]) as fh:
+        d = json.load(fh)
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]  # driver wraps the bench line under "parsed"
+    d["_file"] = os.path.basename(files[-1])
+    return d
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frontier-only", type=int, default=0, metavar="N_URLS",
@@ -191,6 +214,12 @@ def main() -> None:
     from crawlspark.session import get_spark
 
     extra = {}
+    if args.frontier_only:
+        # shuffle-path tuning for the scaling measurement: bigger in-flight
+        # fetch window + larger map-side write buffers cut per-block overhead
+        # on the (compressed, compact-key) shuffles being measured
+        extra["spark.reducer.maxSizeInFlight"] = "96m"
+        extra["spark.shuffle.file.buffer"] = "1m"
     if args.master.startswith("local-cluster"):
         # local-cluster[n,c,mem]: n separate executor JVMs with c cores each
         n_exec, n_cores, mem_mb = [
@@ -231,6 +260,19 @@ def main() -> None:
         "frontier": fr,
         "cpus": args.cpus,
     }
+    prev = latest_round_bench()
+    if prev is not None and prev.get("queries"):
+        regressions = {}
+        for k, t in queries.items():
+            p = prev["queries"].get(k)
+            if p and t > 1.25 * p:
+                regressions[k] = {"prev_s": p, "now_s": t,
+                                  "ratio": round(t / p, 2)}
+        out["vs_prev_round"] = {
+            "file": prev["_file"],
+            "prev_total_s": prev.get("value"),
+            "regressions_gt_1.25x": regressions,
+        }
     print(json.dumps(out))
 
 

@@ -18,6 +18,7 @@ Shapes mirror the reference's crawl space:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -78,6 +79,56 @@ def gen_image_caption(spec: GenSpec) -> pd.DataFrame:
     df["h"] = df["h"].astype(np.int32)
     df["phash"] = df["phash"].astype(np.int64)
     return df
+
+
+# The 64-row multimodal fixture (textops.multimodal_meta/_resize): generated
+# once, staged as parquet so the Spark side reads it distributed and the
+# DuckDB oracle reads the same file. Expected decode-derived columns
+# (mean luminance before/after resize) are precomputed here with the exact
+# arithmetic the mapInPandas UDFs apply, so the driver's value-hash compare
+# checks the decode path end to end.
+IMAGE_FIXTURE_SPEC = GenSpec(seed=42, n_images=64, n_urls=64, n_hosts=4)
+IMAGE_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "images_64.parquet")
+
+
+def _mean_lum_x100(px: np.ndarray) -> int:
+    return int((0.299 * px[..., 0] + 0.587 * px[..., 1]
+                + 0.114 * px[..., 2]).mean() * 100)
+
+
+def ensure_image_fixture(path: str = IMAGE_FIXTURE_PATH) -> str:
+    """Write the deterministic image fixture parquet if absent; returns the
+    path. Atomic (temp + rename) so concurrent callers never see a torn
+    file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    pdf = gen_image_caption(IMAGE_FIXTURE_SPEC)
+    lum, lum2 = [], []
+    for r in pdf.itertuples():
+        dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+        lum.append(_mean_lum_x100(dec))
+        h2, w2 = int(r.h) // 2, int(r.w) // 2
+        small = dec.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3)).astype("uint8")
+        lum2.append(_mean_lum_x100(small))
+    pdf["mean_lum_x100"] = np.asarray(lum, dtype=np.int64)
+    pdf["mean_lum2_x100"] = np.asarray(lum2, dtype=np.int64)
+    schema = pa.schema([
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+        ("mean_lum_x100", pa.int64()), ("mean_lum2_x100", pa.int64()),
+    ])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                        preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def _zipf_host_indices(rng: np.random.RandomState, n: int, n_hosts: int,

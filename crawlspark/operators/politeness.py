@@ -56,21 +56,32 @@ def _order():
 
 def admit(candidates: DataFrame, budgets: DataFrame, epoch: int,
           batch_size: int, max_capacity: int = 64,
-          host_key: str = "host") -> DataFrame:
+          host_key: str = "host",
+          derive_missing_host_key: bool = False) -> DataFrame:
     """Returns the admitted batch with ``admission_idx`` (0-based position in
     global crawl order) — the engine's TakeOrderedAndProject with a per-host
     cap. ``budgets`` is broadcast (small dim per north_rule).
 
     ``host_key="host_hash"`` lets a caller schedule on compact hashed keys
-    (late materialization: URL/host strings never enter the shuffles). If
-    ``budgets`` already carries that column it is used as-is (the caller
-    guarantees it matches the candidates' hashing); otherwise it is derived
-    with the engine's canonical ``hash64`` (functions.urls.hash64_col)."""
+    (late materialization: URL/host strings never enter the shuffles).
+    ``budgets`` must already carry that column (the caller guarantees it
+    matches the candidates' hashing). If it does not, the call FAILS unless
+    ``derive_missing_host_key=True``, in which case the key is derived with
+    the engine's canonical md5-based ``hash64`` (functions.urls.hash64_col) —
+    only correct when the candidates were keyed with the same function; a
+    silent mismatch would make the broadcast join match nothing and return an
+    empty batch (a scheduling stall with no error), hence the fail-fast."""
     if host_key != "host" and host_key in budgets.columns:
         avail = availability(budgets, epoch, extra_cols=(host_key,))
     else:
         avail = availability(budgets, epoch)
         if host_key != "host":
+            if not derive_missing_host_key:
+                raise ValueError(
+                    f"budgets has no column {host_key!r}; pass budgets with "
+                    "that column (keyed identically to the candidates) or "
+                    "set derive_missing_host_key=True to derive it with the "
+                    "canonical functions.urls.hash64_col")
             from ..functions.urls import hash64_col
 
             avail = avail.withColumn(host_key, hash64_col(F.col("host")))

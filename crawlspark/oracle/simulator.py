@@ -217,17 +217,46 @@ class CrawlOracle:
         counters["p_max"] = p_max
         return counters
 
-    def run(self, max_epochs: int = 1000, stop_after_empty: int | None = None) -> None:
+    def add_fallback(self, fallback: pd.DataFrame) -> None:
+        """T9 fold-in: extend the frontier with broader lower-priority strata
+        (mirrors plans.crawler.broaden_frontier exactly)."""
+        rows = fallback.to_dict("records")
+        self.frontier = self.frontier + rows
+        for r in rows:
+            p = int(r["priority"])
+            self.st.remaining[p] = self.st.remaining.get(p, 0) + 1
+
+    def run(self, max_epochs: int = 1000, stop_after_empty: int | None = None,
+            fallback: pd.DataFrame | None = None,
+            target_results: int | None = None) -> None:
+        """Mirror of plans.crawler.run_crawl, including the T9 broadening
+        rule: at the moment the crawl would terminate, if cumulative terminal
+        results are below ``target_results``, fold ``fallback`` in once and
+        continue."""
         cfg = self.cfg
         if stop_after_empty is None:
             stop_after_empty = max(cfg.backoff_max_epochs,
                                    cfg.secondary_backoff_epochs) + 1
         streak = 0
-        for epoch in range(max_epochs):
+        total_terminal = 0
+        fallback_added = False
+        epoch = 0
+        while epoch < max_epochs:
             c = self.run_epoch(epoch)
+            total_terminal += (c["ok"] + c["invalid"] + c["failed"]
+                               + c["denied"])
             streak = 0 if (c["admitted"] + c["denied"]) > 0 else streak + 1
             if streak >= stop_after_empty:
+                if (fallback is not None and not fallback_added
+                        and (target_results is None
+                             or total_terminal < target_results)):
+                    self.add_fallback(fallback)
+                    fallback_added = True
+                    streak = 0
+                    epoch += 1
+                    continue
                 break
+            epoch += 1
 
     # -- goldens -----------------------------------------------------------
 

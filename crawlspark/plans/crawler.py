@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..tables import SnapshotStore
-from .epoch import EpochResult, run_epoch
+from .epoch import EpochResult, record_failed_epoch, run_epoch
 
 
 def init_run(spark: SparkSession, store: SnapshotStore, frontier: DataFrame,
@@ -48,13 +48,59 @@ def init_run(spark: SparkSession, store: SnapshotStore, frontier: DataFrame,
     })
 
 
+def broaden_frontier(spark: SparkSession, store: SnapshotStore,
+                     fallback: DataFrame, files_per_stratum: int = 1) -> None:
+    """T9: append broader, lower-priority strata to a drained frontier — the
+    analog of the reference extending its search-query list with 8 broad
+    fallback queries when all strata exhaust below target
+    (/root/reference/src/infrastructure/github_api.py:588-604). One atomic
+    commit: new stratum files + bumped remaining counters + the
+    ``fallback_added`` flag (so a resumed run never re-broadens)."""
+    snap = store.snapshot()
+    counts = {int(r["priority"]): int(r["n"]) for r in
+              fallback.groupBy("priority").agg(F.count("*").alias("n")).collect()}
+    remaining = {int(k): int(v) for k, v in
+                 snap.meta.get("remaining_by_priority", {}).items()}
+    files_by_p = {k: list(v) for k, v in
+                  snap.meta.get("frontier_files_by_priority", {}).items()}
+    appends: dict[str, list[str]] = {"frontier": []}
+    for p in sorted(counts):
+        part = (fallback.filter(F.col("priority") == p)
+                .repartition(files_per_stratum)
+                .sortWithinPartitions("host", "seq"))
+        fs = store.stage(part, "frontier")
+        files_by_p.setdefault(str(p), [])
+        files_by_p[str(p)] = files_by_p[str(p)] + fs
+        appends["frontier"].extend(fs)
+        remaining[p] = remaining.get(p, 0) + counts[p]
+    store.commit(
+        epoch=int(snap.meta.get("last_epoch", -1)),
+        appends=appends,
+        meta={**snap.meta,
+              "remaining_by_priority": {str(k): v for k, v in remaining.items()},
+              "frontier_files_by_priority": files_by_p,
+              "fallback_added": True})
+
+
 def run_crawl(spark: SparkSession, store: SnapshotStore, images: DataFrame,
               cfg: CrawlConfig, max_epochs: int = 1000,
-              stop_after_empty: int | None = None) -> list[EpochResult]:
+              stop_after_empty: int | None = None,
+              fallback: DataFrame | None = None,
+              target_results: int | None = None) -> list[EpochResult]:
     """Run epochs from the last committed snapshot until the frontier drains
     (``stop_after_empty`` consecutive zero-progress epochs), ``max_epochs``,
     or exhaustion of remaining counters. Safe to call repeatedly — it resumes
-    from wherever the previous call (or a crash) left off."""
+    from wherever the previous call (or a crash) left off.
+
+    ``fallback``: optional broader frontier strata folded in ONCE, at the
+    moment the crawl would otherwise terminate, iff cumulative terminal
+    results are still below ``target_results`` (T9; github_api.py:588-604).
+    The fold-in is recorded in snapshot meta, so resume never re-applies it.
+
+    An epoch that raises is recorded as a ``crawl_jobs`` row with
+    status='failed' + error_message before the exception propagates (T11,
+    use_cases.py:168-191); no data from the failed epoch is committed and
+    ``last_epoch`` does not advance, so the next call retries it."""
     snap = store.snapshot()
     if snap.commit_id < 0:
         raise RuntimeError("store not initialized; call init_run first")
@@ -64,13 +110,30 @@ def run_crawl(spark: SparkSession, store: SnapshotStore, images: DataFrame,
         stop_after_empty = max(cfg.backoff_max_epochs,
                                cfg.secondary_backoff_epochs) + 1
     start = int(snap.meta.get("last_epoch", -1)) + 1
+    total_terminal = int(snap.meta.get("cum_terminal", 0))
+    fallback_added = bool(snap.meta.get("fallback_added", False))
     results: list[EpochResult] = []
     empty_streak = 0
-    for epoch in range(start, start + max_epochs):
-        res = run_epoch(spark, store, images, cfg, epoch)
+    epoch = start
+    while epoch < start + max_epochs:
+        try:
+            res = run_epoch(spark, store, images, cfg, epoch)
+        except Exception as exc:
+            record_failed_epoch(store, epoch, exc)
+            raise
         results.append(res)
+        total_terminal += res.n_terminal
         progressed = (res.n_admitted + res.n_denied) > 0
         empty_streak = 0 if progressed else empty_streak + 1
         if empty_streak >= stop_after_empty:
+            if (fallback is not None and not fallback_added
+                    and (target_results is None
+                         or total_terminal < target_results)):
+                broaden_frontier(spark, store, fallback)
+                fallback_added = True
+                empty_streak = 0
+                epoch += 1
+                continue
             break
+        epoch += 1
     return results

@@ -53,6 +53,41 @@ FRONTIER_COLS = ["url", "url_hash", "host", "host_hash", "priority", "seq",
                  "image_id", "attempt", "not_before_epoch", "discovered_at"]
 
 
+def _job_schema():
+    """Fixed arrow schema for crawl_jobs rows: completed and failed rows must
+    stay column-compatible (the table is read as one parquet file set)."""
+    import pyarrow as pa
+
+    return pa.schema([
+        ("job_id", pa.int64()), ("epoch", pa.int64()),
+        ("status", pa.string()),
+        ("records_processed", pa.int64()), ("records_created", pa.int64()),
+        ("records_updated", pa.int64()), ("input_files", pa.string()),
+        ("error_message", pa.string()),
+    ])
+
+
+def record_failed_epoch(store: SnapshotStore, epoch: int,
+                        error: BaseException | str) -> None:
+    """T11 failure half: persist a crawl_jobs row with status='failed' +
+    error_message WITHOUT committing any data appends, so a user inspecting
+    crawl_jobs can tell crash from not-run while resumability is untouched
+    (ref: use_cases.py:168-191 finalizes status=failed with error_message;
+    database.py:396-419 persists it). Meta is carried over unchanged —
+    last_epoch does not advance, so the next run_crawl retries this epoch."""
+    snap = store.snapshot()
+    job_row = pd.DataFrame([{
+        "job_id": epoch, "epoch": epoch, "status": "failed",
+        "records_processed": 0, "records_created": 0, "records_updated": 0,
+        "input_files": "", "error_message": str(error)[:1000],
+    }])
+    store.commit(
+        epoch,
+        appends={"crawl_jobs": store.stage_pandas(job_row, "crawl_jobs",
+                                                  schema=_job_schema())},
+        meta=snap.meta)
+
+
 @dataclass
 class EpochResult:
     epoch: int
@@ -245,14 +280,20 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
         "records_created": res.n_ok,
         "records_updated": res.n_invalid + res.n_failed,
         "input_files": ",".join(files),
+        "error_message": None,
     }])
-    appends["crawl_jobs"] = store.stage_pandas(job_row, "crawl_jobs")
+    appends["crawl_jobs"] = store.stage_pandas(job_row, "crawl_jobs",
+                                               schema=_job_schema())
     replaces = {"politeness_budget": store.stage(budgets_next, "politeness_budget")}
 
+    # carry prior meta keys (fallback_added, discovery bookkeeping, ...)
+    # forward — an epoch commit must never drop another component's state
     store.commit(epoch, appends=appends, replaces=replaces, meta={
+        **snap.meta,
         "remaining_by_priority": {str(k): v for k, v in remaining.items()},
         "frontier_files_by_priority": frontier_files,
         "last_epoch": epoch,
+        "cum_terminal": int(snap.meta.get("cum_terminal", 0)) + res.n_terminal,
         "counters": {"ok": res.n_ok, "invalid": res.n_invalid,
                      "retry": res.n_retry, "deferred": res.n_deferred,
                      "failed": res.n_failed, "denied": res.n_denied},

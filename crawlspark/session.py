@@ -20,10 +20,6 @@ def get_spark(tuning: SparkTuning | None = None) -> SparkSession:
     b = (
         SparkSession.builder.master(t.master)
         .appName(t.app_name)
-        # tmpfs shuffle dirs in local mode (the single-box analog of striped
-        # executor-local NVMe); harmless no-op default elsewhere
-        .config("spark.local.dir",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.sql.shuffle.partitions", str(t.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -35,6 +31,13 @@ def get_spark(tuning: SparkTuning | None = None) -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # tmpfs shuffle dirs ONLY in local/local-cluster mode (the single-box
+    # analog of striped executor-local NVMe). On a real cluster the default
+    # (or the cluster manager's LOCAL_DIRS) must win: RAM-backed tmpfs is
+    # capped at ~half of RAM and competes with executor heap, so a spill
+    # beyond that fails with no-space errors.
+    if t.master.startswith("local") and os.path.isdir("/dev/shm"):
+        b = b.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in t.extra.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -76,6 +76,57 @@ def table_stats(spark: SparkSession, store) -> DataFrame:
         rows, "table string, n_files int, n_rows long, n_bytes long")
 
 
+def health_check(spark: SparkSession, store) -> dict:
+    """Composed operational status — the reference's health-check surface
+    (/root/reference/src/main.py:233-273 -> use_cases.py:296-356: per-component
+    dict of db stats + active job + latest rate-limit). Ours: snapshot
+    position, per-table stats (footer metadata only, no scans), the last
+    crawl_jobs row (distinguishes completed/failed per T11), and the current
+    politeness-budget availability summary."""
+    snap = store.snapshot()
+    last_epoch = int(snap.meta.get("last_epoch", -1))
+
+    tables = {r["table"]: {"n_files": int(r["n_files"]),
+                           "n_rows": int(r["n_rows"]),
+                           "n_bytes": int(r["n_bytes"])}
+              for r in table_stats(spark, store).collect()}
+
+    last_job = None
+    jobs = store.read(spark, "crawl_jobs")
+    if jobs is not None:
+        rows = (jobs.orderBy(F.desc("epoch"), F.desc("job_id"))
+                .limit(1).collect())
+        if rows:
+            last_job = rows[0].asDict()
+
+    budgets_summary = None
+    budgets = store.read(spark, "politeness_budget")
+    if budgets is not None:
+        agg = budgets.agg(
+            F.count("*").alias("n_hosts"),
+            F.sum("tokens").alias("tokens_total"),
+            F.sum(F.when(F.col("backoff_until_epoch") > last_epoch, 1)
+                  .otherwise(0)).alias("n_backed_off")).collect()[0]
+        budgets_summary = {k: int(v) for k, v in agg.asDict().items()}
+
+    status = "healthy"
+    if snap.commit_id < 0:
+        status = "uninitialized"
+    elif last_job is not None and last_job.get("status") == "failed":
+        status = "degraded"
+    return {
+        "status": status,
+        "snapshot": {"commit_id": snap.commit_id, "last_epoch": last_epoch,
+                     "remaining_total": sum(
+                         int(v) for v in
+                         snap.meta.get("remaining_by_priority", {}).values())},
+        "tables": tables,
+        "last_job": last_job,
+        "budgets": budgets_summary,
+        "latest_crawl_ts": latest_crawl_ts(spark, store),
+    }
+
+
 def latest_crawl_ts(spark: SparkSession, store):
     """MAX(fetched_at) over crawl_log via parquet footer column statistics
     (max per row group), falling back to a scan only if stats are absent."""

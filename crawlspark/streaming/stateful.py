@@ -9,6 +9,17 @@ trigger == one epoch: on each trigger a host's availability is
 are emitted with ``admitted = false`` so the caller can re-enqueue (the
 streaming analog of the frontier's natural requeue, SURVEY.md §2.8 T6).
 
+**Lazy-refill deviation (deliberate):** with ``NoTimeout`` the state function
+only runs for hosts that have rows in a trigger, so a host idle for k
+triggers is credited ONE refill on its next appearance, not k. This
+under-admits after idle periods — conservative (politeness is never
+violated) — and the pure-pandas oracle implements the identical rule, so
+the parity test covers the semantics actually shipped. Crediting k refills
+would need a timeout tick per idle host (ProcessingTimeTimeout), which buys
+throughput for bursty hosts at the cost of a timer per host; the batch path
+(operators.politeness) has no such gap because every epoch evaluates every
+budget row.
+
 Python is on this path by necessity (arbitrary state), but batched: one
 pandas frame per (host, trigger) — Arrow transfer, no per-row Python
 (input_hint). At 10^10 scale the stream is pre-partitioned by host hash, so
@@ -21,6 +32,7 @@ from typing import Any, Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (IntegerType, LongType, StringType, BooleanType,
                                StructField, StructType)
@@ -43,28 +55,43 @@ STATE_SCHEMA = StructType([
 ])
 
 
-def token_bucket_admission(discoveries: DataFrame, budgets: dict,
+def token_bucket_admission(discoveries: DataFrame, budgets,
                            default_capacity: int = 8) -> DataFrame:
     """``discoveries``: streaming DataFrame with at least
-    (host, url, url_hash, priority, seq). ``budgets``: driver-side dict
-    host -> (capacity, refill_per_epoch) — the broadcast politeness dim
-    (north_rule), captured in the UDF closure like any broadcast var.
+    (host, url, url_hash, priority, seq). ``budgets``: the per-host
+    politeness dim as a static DataFrame[host, capacity, refill_per_epoch],
+    stream-static broadcast-joined onto the discoveries (the same
+    broadcast-dim discipline as the batch path, north_rule); a plain dict
+    ``host -> (capacity, refill)`` is accepted for convenience and converted.
+    Hosts absent from the dim fall back to ``default_capacity``.
 
     Returns every input row tagged ``admitted`` true/false per trigger, in
     deterministic (priority, seq, url_hash) order within a host."""
+    spark = discoveries.sparkSession
+    if isinstance(budgets, dict):
+        budgets_df = spark.createDataFrame(
+            [(h, int(c), int(r)) for h, (c, r) in budgets.items()],
+            "host string, capacity int, refill_per_epoch int")
+    else:
+        budgets_df = budgets.select("host", "capacity", "refill_per_epoch")
+    default_refill = max(1, default_capacity // 2)
+    enriched = (discoveries
+                .join(F.broadcast(budgets_df), "host", "left")
+                .na.fill({"capacity": default_capacity,
+                          "refill_per_epoch": default_refill}))
 
     def _bucket(key: tuple, pdfs: Iterable[pd.DataFrame],
                 state: GroupState) -> Iterable[pd.DataFrame]:
         host = key[0]
-        capacity, refill = budgets.get(host, (default_capacity,
-                                              max(1, default_capacity // 2)))
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        capacity = int(batch["capacity"].iloc[0])
+        refill = int(batch["refill_per_epoch"].iloc[0])
         if state.exists:
             tokens, n_triggers = state.get
         else:
             tokens, n_triggers = capacity, 0
         avail = min(capacity, tokens + (refill if n_triggers > 0 else 0))
 
-        batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(ORDER_COLS, kind="mergesort")
         n_admit = min(avail, len(batch))
         admitted_flags = [True] * n_admit + [False] * (len(batch) - n_admit)
@@ -81,7 +108,7 @@ def token_bucket_admission(discoveries: DataFrame, budgets: dict,
         })
         yield out
 
-    return (discoveries
+    return (enriched
             .groupBy("host")
             .applyInPandasWithState(
                 _bucket, OUT_SCHEMA, STATE_SCHEMA,
@@ -92,7 +119,9 @@ def token_bucket_admission(discoveries: DataFrame, budgets: dict,
 def simulate_token_bucket(batches: list[pd.DataFrame], budgets: dict,
                           default_capacity: int = 8) -> pd.DataFrame:
     """Pure-pandas oracle for :func:`token_bucket_admission`: same integer
-    bucket semantics, one entry per (trigger, row)."""
+    bucket semantics, one entry per (trigger, row) — INCLUDING the lazy-refill
+    rule (a host absent from a batch is not ticked; see module docstring), so
+    the parity test checks the shipped semantics, not an idealized clock."""
     state: dict[str, tuple[int, int]] = {}
     rows = []
     for trigger, pdf in enumerate(batches):

@@ -160,3 +160,66 @@ class SnapshotStore:
         if not fs:
             return None
         return spark.read.parquet(*fs)
+
+
+def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
+               updates: "DataFrame", key: str,
+               newer_col: str | None = None) -> None:
+    """S7 batch upsert: ``MERGE INTO <name> USING updates ON t.key = s.key
+    WHEN MATCHED [AND t.newer_col < s.newer_col] THEN UPDATE *
+    WHEN NOT MATCHED THEN INSERT *`` — the reference's staging+ON CONFLICT
+    merge (/root/reference/src/infrastructure/database.py:174-271; the
+    conditional form is the newer-wins merge, SCHEMA_EVOLUTION.md:94-110).
+
+    Emulated on the parquet snapshot backend as: (updates that win) UNION
+    (target rows not superseded), committed as an atomic table replace. On
+    Iceberg this function is one ``MERGE INTO`` statement; the join below is
+    the exact distributed plan Iceberg would run (shuffle on the key, AQE
+    skew-safe), so the emulation carries the same scale shape. At 100 TB the
+    replace would be partition-scoped (only buckets containing updated keys
+    rewritten); the snapshot manifest supports that via per-file appends."""
+    from pyspark.sql import functions as F
+
+    # one winner per key within the updates batch (newest when ordered,
+    # arbitrary-first otherwise) — map-side partial agg, same shape as
+    # operators.dedup.supersede
+    if newer_col is not None:
+        cols = updates.columns
+        updates = (updates.groupBy(key)
+                   .agg(F.max_by(F.struct(*cols), F.col(newer_col))
+                        .alias("_w"))
+                   .select("_w.*"))
+    else:
+        updates = updates.dropDuplicates([key])
+
+    target = store.read(spark, name)
+    if target is not None and newer_col is not None:
+        # drop updates that are NOT newer than their matched target row
+        t_keyed = target.select(F.col(key),
+                                F.col(newer_col).alias("_t_newer"))
+        updates = (updates.join(t_keyed, key, "left")
+                   .filter(F.col("_t_newer").isNull()
+                           | (F.col(newer_col) > F.col("_t_newer")))
+                   .drop("_t_newer"))
+    if target is None:
+        merged = updates
+    else:
+        kept = target.join(updates.select(key), key, "left_anti")
+        merged = kept.unionByName(updates)
+    snap = store.snapshot()
+    store.commit(epoch=int(snap.meta.get("last_epoch", -1)),
+                 replaces={name: store.stage(merged, name)},
+                 meta=snap.meta)
+
+
+def upsert_row(spark: "SparkSession", store: SnapshotStore, name: str,
+               row: dict, key: str, newer_col: str | None = None) -> None:
+    """S8 single-row upsert convenience — the degenerate one-row batch
+    through :func:`merge_into` (ref: single ON CONFLICT DO UPDATE,
+    database.py:120-172). Schema follows the existing table when present."""
+    target = store.read(spark, name)
+    if target is not None:
+        updates = spark.createDataFrame([row], schema=target.schema)
+    else:
+        updates = spark.createDataFrame([row])
+    merge_into(spark, store, name, updates, key, newer_col=newer_col)

@@ -491,27 +491,57 @@ def doc_fingerprint(spark, sf):
 
 
 # =========================================================================
-# multimodal plumbing (binary payload columns; rows-only checks)
+# multimodal plumbing (binary payload columns)
 # =========================================================================
+#
+# The fixture is a staged parquet file (crawlspark.datagen.ensure_image_fixture)
+# carrying the input_hint image schema PLUS expected decode-derived columns
+# (mean_lum_x100, mean_lum2_x100) precomputed by the generator. The Spark
+# queries decode the binary payload independently inside mapInPandas and emit
+# MEASURED values; the DuckDB oracle reads the STORED expected values from the
+# same parquet — so a hash match proves the distributed decode path, not a
+# tautology.
+
+from .datagen import IMAGE_FIXTURE_PATH  # noqa: E402  (module constant)
+
+ORACLE_SQL["multimodal_meta"] = f"""
+SELECT image_id, fmt, w, h,
+       CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+       mean_lum_x100, TRUE AS phash_ok
+FROM read_parquet('{IMAGE_FIXTURE_PATH}') ORDER BY image_id
+"""
+
+ORACLE_SQL["multimodal_resize"] = f"""
+SELECT image_id,
+       CAST(w // 2 AS INT) AS w2, CAST(h // 2 AS INT) AS h2,
+       CAST((w // 2) * (h // 2) * 3 AS BIGINT) AS n_bytes_out,
+       mean_lum2_x100
+FROM read_parquet('{IMAGE_FIXTURE_PATH}') ORDER BY image_id
+"""
+
 
 def _image_table(spark):
+    """Distributed read of the staged fixture, projected to the input_hint
+    columns only (the expected columns never reach the UDFs)."""
     from . import datagen
 
-    spec = datagen.GenSpec(seed=42, n_images=64, n_urls=64, n_hosts=4)
-    pdf = datagen.gen_image_caption(spec)
-    return spark.createDataFrame(pdf)
+    path = datagen.ensure_image_fixture()
+    return spark.read.parquet(path).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
 def multimodal_meta(spark, sf):
     """Multimodal column plumbing: an image table with an opaque binary
     payload column flows through mapInPandas, which decodes per Arrow batch
     and emits typed metadata (decode itself is the pure-numpy codec; a real
-    jpeg/webp decoder drops into the same UDF signature). Deterministic
-    in-memory fixture; rows-only driver check (no SQL-expressible oracle)."""
+    jpeg/webp decoder drops into the same UDF signature). The driver oracle
+    compares measured mean luminance + phash recompute against the values the
+    generator staged."""
     img = _image_table(spark)
 
     def _meta(batches):
         from . import codecs
+        from .datagen import _mean_lum_x100
 
         for pdf in batches:
             rows = []
@@ -521,9 +551,7 @@ def multimodal_meta(spark, sf):
                     "image_id": r.image_id, "fmt": r.fmt,
                     "w": int(r.w), "h": int(r.h),
                     "n_bytes": len(r.bytes),
-                    "mean_lum_x100": int(
-                        (0.299 * dec[..., 0] + 0.587 * dec[..., 1]
-                         + 0.114 * dec[..., 2]).mean() * 100),
+                    "mean_lum_x100": _mean_lum_x100(dec),
                     "phash_ok": codecs.phash64(dec) == int(r.phash),
                 })
             yield pd.DataFrame(rows)
@@ -539,26 +567,32 @@ QUERIES["multimodal_meta"] = multimodal_meta
 def multimodal_resize(spark, sf):
     """Thumbnail/resize stage: mapInPandas re-encodes each payload at half
     resolution (area-mean downsample, raw output) and reports size reduction
-    — the Spark-side shape of an image preprocessing stage (batching,
-    binary-in/binary-out schema). Rows-only check."""
+    + resized luminance — the Spark-side shape of an image preprocessing
+    stage (batching, binary-in/binary-out schema). Oracle-checked against the
+    generator's staged expected values."""
     img = _image_table(spark)
 
     def _resize(batches):
         from . import codecs
+        from .datagen import _mean_lum_x100
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
                 h2, w2 = int(r.h) // 2, int(r.w) // 2
-                small = dec.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3))
-                buf = codecs.encode_image(small.astype("uint8"), "raw")
+                small = dec.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3)) \
+                           .astype("uint8")
+                buf = codecs.encode_image(small, "raw")
                 rows.append({"image_id": r.image_id, "w2": w2, "h2": h2,
-                             "n_bytes_out": len(buf)})
+                             "n_bytes_out": len(buf),
+                             "mean_lum2_x100": _mean_lum_x100(small)})
             yield pd.DataFrame(rows)
 
     return img.mapInPandas(
-        _resize, schema="image_id string, w2 int, h2 int, n_bytes_out long"
+        _resize,
+        schema=("image_id string, w2 int, h2 int, n_bytes_out long, "
+                "mean_lum2_x100 long")
     ).orderBy("image_id")
 
 

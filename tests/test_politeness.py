@@ -44,9 +44,17 @@ def test_admit_host_hash_key_equivalent(dfs):
     frontier, budgets = dfs
     cand = dedup.supersede(frontier)
     by_host = politeness.admit(cand, budgets, epoch=0, batch_size=80)
+    # gen_budgets carries no host_hash; candidates are keyed with the
+    # canonical hash64, so explicit opt-in derivation is correct here
     by_hash = politeness.admit(cand, budgets, epoch=0, batch_size=80,
-                               host_key="host_hash")
+                               host_key="host_hash",
+                               derive_missing_host_key=True)
     assert _admitted_keys(by_host) == _admitted_keys(by_hash)
+    # without the opt-in, a missing budgets column fails fast instead of
+    # silently admitting nothing
+    with pytest.raises(ValueError, match="host_hash"):
+        politeness.admit(cand, budgets, epoch=0, batch_size=80,
+                         host_key="host_hash")
 
 
 def test_supersede_hash_agg_equals_window(spark, dfs):
