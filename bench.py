@@ -220,6 +220,10 @@ def main() -> None:
         # on the (compressed, compact-key) shuffles being measured
         extra["spark.reducer.maxSizeInFlight"] = "96m"
         extra["spark.shuffle.file.buffer"] = "1m"
+        # zstd over lz4: this box's scaling wall is SHARED memory bandwidth
+        # (BENCH.md), so trading CPU for smaller shuffle blocks raises
+        # wall-clock at the bandwidth-bound 4N level (~5% measured A/B)
+        extra["spark.io.compression.codec"] = "zstd"
     if args.master.startswith("local-cluster"):
         # local-cluster[n,c,mem]: n separate executor JVMs with c cores each
         n_exec, n_cores, mem_mb = [

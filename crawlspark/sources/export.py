@@ -46,14 +46,37 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
      .csv(path))
 
 
-def export_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+def export_json(df: DataFrame, path: str, single_file: bool = False,
+                array_file: bool = False) -> None:
     """JSON-lines sink with ISO timestamp coercion (database.py:575-601;
     the reference writes a JSON array — JSONL is the distributed-native
-    equivalent, one object per row)."""
+    equivalent, one object per row). ``array_file=True`` additionally rewrites
+    the part files into ONE ``data.json`` array file for byte-level tooling
+    parity with the reference's artifact — a line-streaming driver-side
+    rewrite (never loads the dataset into memory), for export sizes that
+    belong on one machine anyway."""
     out = _stringify_timestamps(df)
-    if single_file:
+    if single_file or array_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").json(path)
+    if array_file:
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".json"))
+        tmp = os.path.join(path, ".data.json.tmp")
+        with open(tmp, "w") as dst:
+            dst.write("[")
+            first = True
+            for p in parts:
+                with open(p) as src:
+                    for line in src:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        dst.write(("\n  " if first else ",\n  ") + line)
+                        first = False
+            dst.write("\n]\n")
+        os.replace(tmp, os.path.join(path, "data.json"))
 
 
 def table_stats(spark: SparkSession, store) -> DataFrame:

@@ -49,6 +49,19 @@ def test_export_json_roundtrip(spark, crawled, tmp_path):
     assert "url_hash" in first and "status" in first
 
 
+def test_export_json_array_file(spark, crawled, tmp_path):
+    """S10 parity detail: array_file=True produces ONE valid JSON array file
+    (the reference's artifact shape, database.py:575-601)."""
+    log = crawled.read(spark, "crawl_log")
+    out = str(tmp_path / "json_array")
+    export_json(log, out, array_file=True)
+    with open(os.path.join(out, "data.json")) as fh:
+        arr = json.load(fh)
+    assert isinstance(arr, list)
+    assert len(arr) == log.count()
+    assert "url_hash" in arr[0]
+
+
 def test_table_stats_footer_only(spark, crawled):
     stats = table_stats(spark, crawled).toPandas().set_index("table")
     log = crawled.read(spark, "crawl_log")
