@@ -130,9 +130,9 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     if files:
         pending = (spark.read.parquet(*[os.path.join(store.root, f) for f in files])
                    .withColumn("src", F.lit("frontier")))
-    retries = store.read(spark, "retries")
-    if retries is not None:
-        retries = retries.withColumn("src", F.lit("retry"))
+    retries_raw = store.read(spark, "retries")
+    if retries_raw is not None:
+        retries = retries_raw.withColumn("src", F.lit("retry"))
         pending = retries if pending is None else pending.unionByName(retries)
     if pending is None:
         return res
@@ -219,6 +219,25 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
         "discovered_at")
     new_retries = re_retry.unionByName(re_defer)
 
+    # retries COMPACTION: the table is REPLACED each epoch with the live set
+    # (new re-enqueues + prior rows not superseded / not terminal / not
+    # admitted) instead of appended to — otherwise retry state grows without
+    # bound across a long crawl. The kept-row rule is the oracle's exactly
+    # (oracle/simulator.py run_epoch tail); the table stays O(active backoff
+    # rows), so the per-epoch rewrite is a small bounded job (same pattern as
+    # the politeness_budget replace).
+    retries_next = new_retries
+    if retries_raw is not None:
+        seen_hashes = new_seen.select("url_hash")
+        if url_seen is not None:
+            seen_hashes = seen_hashes.unionByName(url_seen.select("url_hash"))
+        kept = (retries_raw
+                .join(new_retries.select("url_hash"), "url_hash", "left_anti")
+                .join(seen_hashes, "url_hash", "left_anti")
+                .join(admitted.select("url_hash"), "url_hash", "left_anti")
+                .select(*FRONTIER_COLS))
+        retries_next = new_retries.select(*FRONTIER_COLS).unionByName(kept)
+
     # ---- budgets ---------------------------------------------------------
     budgets_next = politeness.next_budgets(
         budgets, admitted, deferred.select("host"), epoch,
@@ -263,9 +282,6 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     appends["crawl_log"] = store.stage(crawl_log, "crawl_log")
     appends["url_seen"] = store.stage(new_seen, "url_seen")
     appends["epoch_metrics"] = store.stage(metrics, "epoch_metrics")
-    retf = store.stage(new_retries, "retries")
-    if retf:
-        appends["retries"] = retf
     if cfg.use_bloom:
         flt_new = bloom_ops.updated_buckets(
             new_seen, seen_filter, cfg.n_filter_buckets, cfg.bloom_num_hashes,
@@ -284,7 +300,10 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     }])
     appends["crawl_jobs"] = store.stage_pandas(job_row, "crawl_jobs",
                                                schema=_job_schema())
-    replaces = {"politeness_budget": store.stage(budgets_next, "politeness_budget")}
+    replaces = {
+        "politeness_budget": store.stage(budgets_next, "politeness_budget"),
+        "retries": store.stage(retries_next, "retries"),
+    }
 
     # carry prior meta keys (fallback_added, discovery bookkeeping, ...)
     # forward — an epoch commit must never drop another component's state
