@@ -116,6 +116,28 @@ def admit(candidates: DataFrame, budgets: DataFrame, epoch: int,
     return admitted
 
 
+def admit_late_materialized(candidates: DataFrame, budgets: DataFrame,
+                            epoch: int, batch_size: int) -> DataFrame:
+    """Late-materialization wrapper over :func:`admit` (north_rule): the two
+    admission window shuffles carry COMPACT hashed keys only
+    (url_hash, host_hash, priority, seq — ~32 B/row); every other column
+    (URL/host strings, image_id, timestamps) rejoins through a broadcast
+    join of the admitted key set — ``batch_size`` rows, never the frontier.
+    At 10^10 frontier rows this moves ~4x fewer bytes through the sorts than
+    shuffling full rows, and the rejoin is O(batch).
+
+    Requires ``candidates`` unique per url_hash (post-supersede — true on the
+    epoch path). Budgets may carry ``host_hash`` pre-keyed; otherwise it is
+    derived with the canonical hash64 (both fixture and streaming paths key
+    hosts with functions.urls.hash64)."""
+    compact = candidates.select("url_hash", "host_hash", "priority", "seq")
+    keys = admit(compact, budgets, epoch, batch_size,
+                 host_key="host_hash",
+                 derive_missing_host_key="host_hash" not in budgets.columns)
+    return candidates.join(
+        F.broadcast(keys.select("url_hash", "admission_idx")), "url_hash")
+
+
 def admit_apply_in_pandas(candidates: DataFrame, budgets: DataFrame,
                           epoch: int, batch_size: int) -> DataFrame:
     """GROUPED_MAP token-bucket admission: one pandas batch per host consumes

@@ -21,7 +21,10 @@ Scale levers (explicit, per north_rule):
     row budget covers 2x batch_size (the prefix rule is part of the defined
     semantics: the oracle applies the identical rule, so parity holds).
     The rest of a 10^10-row frontier is never touched.
-  * **salted two-phase per-host top-k** in admission (politeness.admit).
+  * **salted two-phase per-host top-k** in admission (politeness.admit),
+    with **late materialization**: the admission shuffles carry compact
+    hashed keys only; URL/host strings rejoin via a broadcast join of the
+    admitted key set (politeness.admit_late_materialized).
   * **bloom negative-cache** in front of the exact seen anti-join.
   * budgets and robots are **broadcast**; the popped batch is broadcast into
     the image-table join.
@@ -149,7 +152,8 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     denied = denied.persist()
     gated = allowed.filter(F.col("not_before_epoch") <= epoch)
 
-    admitted = politeness.admit(gated, budgets, epoch, cfg.batch_size).persist()
+    admitted = politeness.admit_late_materialized(
+        gated, budgets, epoch, cfg.batch_size).persist()
 
     out = admitted.withColumn("outcome", outcome_col(cfg, epoch)).persist()
     fetched = out.filter(F.col("outcome") == OUTCOME_FETCHED)

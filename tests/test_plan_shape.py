@@ -98,6 +98,27 @@ def test_dedup_embedding_no_nested_loop(spark, sf001):
     assert "CartesianProduct" not in plan
 
 
+def test_admission_shuffles_are_compact(spark):
+    """Late materialization: the admission Window/Exchange stages must carry
+    compact hashed keys only — no url/host STRING columns through the sorts
+    (they rejoin via broadcast after admission). Formatted-plan nodes are
+    checked block by block."""
+    from crawlspark import datagen
+    from crawlspark.operators import politeness
+
+    spec = datagen.GenSpec(seed=3, n_images=20, n_urls=200, n_hosts=6)
+    cand = spark.createDataFrame(datagen.gen_frontier(spec)) \
+        .dropDuplicates(["url_hash"])
+    budgets = spark.createDataFrame(datagen.gen_budgets(spec))
+    df = politeness.admit_late_materialized(cand, budgets, epoch=0,
+                                            batch_size=50)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # the string rejoin is broadcast
+    for block in plan.split("\n\n"):
+        if "Window" in block or "Exchange hashpartitioning" in block:
+            assert " url#" not in block and " host#" not in block, block
+
+
 def test_supersede_partial_agg_no_window(spark):
     """The frontier dedup must plan as an aggregate WITH map-side partial
     (duplicates collapse before the shuffle) and no Window — at 10^10 rows a
