@@ -98,6 +98,15 @@ def _mean_lum_x100(px: np.ndarray) -> int:
                 + 0.114 * px[..., 2]).mean() * 100)
 
 
+def _lum_hist4(px: np.ndarray) -> list[int]:
+    """4-bin luminance histogram (bins 0-63/64-127/128-191/192-255) — the
+    deterministic image feature-extract used by textops.multimodal_histogram
+    and precomputed here as the oracle's expected values."""
+    lum = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2])
+    idx = np.clip(lum, 0, 255).astype(np.int64) // 64
+    return [int((idx == b).sum()) for b in range(4)]
+
+
 def ensure_image_fixture(path: str = IMAGE_FIXTURE_PATH) -> str:
     """Write the deterministic image fixture parquet if absent; returns the
     path. Atomic (temp + rename) so concurrent callers never see a torn
@@ -117,11 +126,120 @@ def ensure_image_fixture(path: str = IMAGE_FIXTURE_PATH) -> str:
         lum2.append(_mean_lum_x100(small))
     pdf["mean_lum_x100"] = np.asarray(lum, dtype=np.int64)
     pdf["mean_lum2_x100"] = np.asarray(lum2, dtype=np.int64)
+    hists = []
+    for r in pdf.itertuples():
+        dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+        hists.append(_lum_hist4(dec))
+    for b in range(4):
+        pdf[f"hist{b}"] = np.asarray([h[b] for h in hists], dtype=np.int64)
     schema = pa.schema([
         ("image_id", pa.string()), ("bytes", pa.binary()),
         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
         ("caption", pa.string()), ("phash", pa.int64()),
         ("mean_lum_x100", pa.int64()), ("mean_lum2_x100", pa.int64()),
+        ("hist0", pa.int64()), ("hist1", pa.int64()),
+        ("hist2", pa.int64()), ("hist3", pa.int64()),
+    ])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                        preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+AUDIO_FIXTURE_PATH = os.path.join(os.path.dirname(IMAGE_FIXTURE_PATH),
+                                  "audio_32.parquet")
+VIDEO_FIXTURE_PATH = os.path.join(os.path.dirname(IMAGE_FIXTURE_PATH),
+                                  "video_16.parquet")
+
+
+def make_pcm(audio_id: str, n_samples: int, rate: int) -> np.ndarray:
+    """Deterministic int16 PCM: two seeded sinusoids + seeded noise — the
+    audio analog of codecs.make_pixels (opaque bytes a real decoder would
+    produce; a real codec drops into the same binary column)."""
+    seed = codecs.stable_seed("pcm:" + audio_id)
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    f1, f2 = rng.uniform(80, 800, size=2)
+    amp = rng.uniform(0.2, 0.7)
+    x = amp * np.sin(2 * np.pi * f1 * t) + 0.3 * amp * np.sin(2 * np.pi * f2 * t)
+    x = x + rng.uniform(-0.01, 0.01, size=n_samples)
+    return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+
+
+def ensure_audio_fixture(path: str = AUDIO_FIXTURE_PATH, n: int = 32) -> str:
+    """32-row audio table: (audio_id, pcm:binary int16-LE, sample_rate,
+    n_samples) + generator-expected features (duration_ms, rms_x10, peak) for
+    the DuckDB oracle; the Spark query recomputes them from the bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rng = np.random.RandomState(4242)
+    rows = []
+    for i in range(n):
+        audio_id = f"aud_{i:08d}"
+        rate = int(rng.choice([8000, 16000]))
+        n_samples = int(rng.choice([4000, 8000, 12000]))
+        pcm = make_pcm(audio_id, n_samples, rate)
+        xf = pcm.astype(np.float64)
+        rows.append({
+            "audio_id": audio_id, "pcm": pcm.tobytes(),
+            "sample_rate": rate, "n_samples": n_samples,
+            "duration_ms": n_samples * 1000 // rate,
+            "rms_x10": int(np.sqrt((xf * xf).mean()) * 10),
+            "peak": int(np.abs(xf).max()),
+        })
+    pdf = pd.DataFrame(rows)
+    schema = pa.schema([
+        ("audio_id", pa.string()), ("pcm", pa.binary()),
+        ("sample_rate", pa.int32()), ("n_samples", pa.int32()),
+        ("duration_ms", pa.int64()), ("rms_x10", pa.int64()),
+        ("peak", pa.int64()),
+    ])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                        preserve_index=False), tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_video_fixture(path: str = VIDEO_FIXTURE_PATH, n: int = 16) -> str:
+    """16-row video table: frames = n_frames raw RGB frames concatenated into
+    one opaque binary column (+ typed metadata), the input_hint pattern for
+    video. Expected columns (n_sampled at stride 4, mean sampled luminance)
+    precomputed for the oracle; the Spark query frame-samples the bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rng = np.random.RandomState(777)
+    stride = 4
+    rows = []
+    for i in range(n):
+        video_id = f"vid_{i:06d}"
+        w = h = int(rng.choice([16, 32]))
+        n_frames = int(rng.choice([8, 12, 20]))
+        frames = [codecs.make_pixels(f"{video_id}/f{k}", w, h)
+                  for k in range(n_frames)]
+        sampled = frames[::stride]
+        lum = float(np.mean([_mean_lum_x100(f) for f in sampled]))
+        rows.append({
+            "video_id": video_id,
+            "frames": b"".join(f.tobytes() for f in frames),
+            "n_frames": n_frames, "w": w, "h": h,
+            "n_sampled": len(sampled),
+            "mean_lum_sampled_x100": int(lum),
+        })
+    pdf = pd.DataFrame(rows)
+    schema = pa.schema([
+        ("video_id", pa.string()), ("frames", pa.binary()),
+        ("n_frames", pa.int32()), ("w", pa.int32()), ("h", pa.int32()),
+        ("n_sampled", pa.int64()), ("mean_lum_sampled_x100", pa.int64()),
     ])
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"

@@ -502,7 +502,8 @@ def doc_fingerprint(spark, sf):
 # same parquet — so a hash match proves the distributed decode path, not a
 # tautology.
 
-from .datagen import IMAGE_FIXTURE_PATH  # noqa: E402  (module constant)
+from .datagen import (AUDIO_FIXTURE_PATH, IMAGE_FIXTURE_PATH,  # noqa: E402
+                      VIDEO_FIXTURE_PATH)
 
 ORACLE_SQL["multimodal_meta"] = f"""
 SELECT image_id, fmt, w, h,
@@ -597,3 +598,130 @@ def multimodal_resize(spark, sf):
 
 
 QUERIES["multimodal_resize"] = multimodal_resize
+
+
+ORACLE_SQL["multimodal_histogram"] = f"""
+SELECT image_id, hist0, hist1, hist2, hist3
+FROM read_parquet('{IMAGE_FIXTURE_PATH}') ORDER BY image_id
+"""
+
+
+def multimodal_histogram(spark, sf):
+    """Image feature-extract stage (task brief: decode / feature-extract as
+    Pandas UDFs over mapInPandas): 4-bin luminance histogram per decoded
+    payload — the shape of any per-image embedding/feature pass (a CNN
+    featurizer drops into the same UDF). Oracle = generator-staged expected
+    bins."""
+    img = _image_table(spark)
+
+    def _hist(batches):
+        from . import codecs
+        from .datagen import _lum_hist4
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
+                h = _lum_hist4(dec)
+                rows.append({"image_id": r.image_id,
+                             "hist0": h[0], "hist1": h[1],
+                             "hist2": h[2], "hist3": h[3]})
+            yield pd.DataFrame(rows)
+
+    return img.mapInPandas(
+        _hist, schema=("image_id string, hist0 long, hist1 long, "
+                       "hist2 long, hist3 long")).orderBy("image_id")
+
+
+QUERIES["multimodal_histogram"] = multimodal_histogram
+
+
+ORACLE_SQL["audio_features"] = f"""
+SELECT audio_id, CAST(octet_length(pcm) / 2 AS BIGINT) AS n_samples_dec,
+       duration_ms, rms_x10, peak
+FROM read_parquet('{AUDIO_FIXTURE_PATH}') ORDER BY audio_id
+"""
+
+
+def audio_features(spark, sf):
+    """Audio feature-extract over an opaque int16-PCM binary column:
+    mapInPandas decodes per Arrow batch (np.frombuffer — zero-copy) and emits
+    duration / RMS energy / peak, the standard audio quality-gate features.
+    A real resampler/VAD slots into the same UDF signature. Oracle =
+    generator-staged expected values recomputed here from the bytes."""
+    from . import datagen
+
+    aud = (spark.read.parquet(datagen.ensure_audio_fixture())
+           .select("audio_id", "pcm", "sample_rate", "n_samples"))
+
+    def _feats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.pcm, dtype="<i2").astype(np.float64)
+                rows.append({
+                    "audio_id": r.audio_id,
+                    "n_samples_dec": len(x),
+                    "duration_ms": len(x) * 1000 // int(r.sample_rate),
+                    "rms_x10": int(np.sqrt((x * x).mean()) * 10),
+                    "peak": int(np.abs(x).max()),
+                })
+            yield pd.DataFrame(rows)
+
+    return aud.mapInPandas(
+        _feats, schema=("audio_id string, n_samples_dec long, "
+                        "duration_ms long, rms_x10 long, peak long")
+    ).orderBy("audio_id")
+
+
+QUERIES["audio_features"] = audio_features
+
+
+ORACLE_SQL["video_frame_sample"] = f"""
+SELECT video_id, n_frames, CAST(w * h * 3 AS BIGINT) AS bytes_per_frame,
+       n_sampled, mean_lum_sampled_x100
+FROM read_parquet('{VIDEO_FIXTURE_PATH}') ORDER BY video_id
+"""
+
+
+def video_frame_sample(spark, sf):
+    """Video frame-sampling over an opaque frames binary column (n_frames raw
+    RGB frames concatenated + typed metadata): mapInPandas reshapes the bytes
+    to (n_frames, h, w, 3), keeps every 4th frame, and reports sampled-frame
+    statistics — the Spark-side shape of a frame-extraction stage for vision
+    training data. Oracle = generator-staged expected values."""
+    from . import datagen
+
+    vid = (spark.read.parquet(datagen.ensure_video_fixture())
+           .select("video_id", "frames", "n_frames", "w", "h"))
+
+    def _sample(batches):
+        import numpy as np
+
+        from .datagen import _mean_lum_x100
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                nf, w, h = int(r.n_frames), int(r.w), int(r.h)
+                arr = np.frombuffer(r.frames, dtype=np.uint8) \
+                    .reshape(nf, h, w, 3)
+                sampled = arr[::4]
+                lum = float(np.mean([_mean_lum_x100(f) for f in sampled]))
+                rows.append({
+                    "video_id": r.video_id, "n_frames": nf,
+                    "bytes_per_frame": w * h * 3,
+                    "n_sampled": int(sampled.shape[0]),
+                    "mean_lum_sampled_x100": int(lum),
+                })
+            yield pd.DataFrame(rows)
+
+    return vid.mapInPandas(
+        _sample, schema=("video_id string, n_frames int, "
+                         "bytes_per_frame long, n_sampled long, "
+                         "mean_lum_sampled_x100 long")).orderBy("video_id")
+
+
+QUERIES["video_frame_sample"] = video_frame_sample

@@ -1,5 +1,7 @@
 """Datagen determinism + invariant tests (no Spark)."""
 
+import os
+
 import numpy as np
 
 from crawlspark import codecs, datagen
@@ -56,3 +58,21 @@ def test_budgets_and_robots():
     r = datagen.gen_robots(SPEC)
     assert len(r) == SPEC.n_hosts
     assert r["disallow_prefixes"].map(lambda p: "/private/" in p).all()
+
+
+def test_staged_fixtures_deterministic(tmp_path):
+    """The committed fixtures/*.parquet equal a fresh regeneration row for
+    row — the DuckDB oracle reads the committed file while Spark recomputes
+    from bytes, so the two must never drift."""
+    import pandas as pd
+
+    for ensure, committed in [
+        (datagen.ensure_image_fixture, datagen.IMAGE_FIXTURE_PATH),
+        (datagen.ensure_audio_fixture, datagen.AUDIO_FIXTURE_PATH),
+        (datagen.ensure_video_fixture, datagen.VIDEO_FIXTURE_PATH),
+    ]:
+        fresh_path = str(tmp_path / os.path.basename(committed))
+        ensure(fresh_path)
+        a = pd.read_parquet(committed)
+        b = pd.read_parquet(fresh_path)
+        pd.testing.assert_frame_equal(a, b)
