@@ -113,7 +113,7 @@ _MH_BAND_DUCK = ", ".join(
     f"md5(CAST(mh{i} AS VARCHAR) || '_' || CAST(mh{j} AS VARCHAR)) AS band{k}"
     for k, (i, j) in enumerate(_MH_BANDS))
 
-ORACLE_SQL["dedup_minhash"] = f"""
+_MH_CTE_DUCK = f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
@@ -130,7 +130,10 @@ WITH sh AS (
   JOIN (SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM bands) b
     ON a.band = b.band AND a.doc_id < b.doc_id
   GROUP BY doc_a, doc_b
-)
+)"""
+
+ORACLE_SQL["dedup_minhash"] = f"""
+{_MH_CTE_DUCK}
 SELECT doc_a, doc_b, n_shared_bands FROM pairs ORDER BY doc_a, doc_b
 """
 
@@ -172,6 +175,54 @@ def dedup_minhash(spark, sf):
 
 
 QUERIES["dedup_minhash"] = dedup_minhash
+
+
+_JACCARD_VERIFY_BP = 2500
+
+ORACLE_SQL["dedup_minhash_verified"] = f"""
+{_MH_CTE_DUCK}
+, toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+)
+SELECT p.doc_a, p.doc_b, p.n_shared_bands,
+       CAST(floor(len(list_intersect(a.ts, b.ts)) * 10000.0 /
+            (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))) AS BIGINT)
+       AS jaccard_bp
+FROM pairs p
+JOIN toks a ON a.doc_id = p.doc_a
+JOIN toks b ON b.doc_id = p.doc_b
+WHERE floor(len(list_intersect(a.ts, b.ts)) * 10000.0 /
+      (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
+      >= {_JACCARD_VERIFY_BP}
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash_verified(spark, sf):
+    """The COMPLETE near-dup pipeline as one composed plan: bigram shingles
+    -> minhash signatures -> LSH band-bucket join (candidates, never
+    all-pairs) -> exact token-set Jaccard verify of ONLY the candidates ->
+    threshold filter. This is the production shape at 10^10 docs: the cheap
+    probabilistic stage routes, the expensive exact stage touches only
+    candidate pairs (two equi-joins on doc_id against the token-set table —
+    skew-free keys, broadcast-eligible at small candidate counts)."""
+    cands = dedup_minhash(spark, sf)
+    toks = (_t(spark, sf, "documents")
+            .select("doc_id",
+                    F.array_distinct(F.split("text", " ")).alias("ts")))
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    jac = F.floor(inter * 10000.0 / union).cast("long")
+    return (cands.join(a, "doc_a").join(b, "doc_b")
+            .withColumn("jaccard_bp", jac)
+            .filter(F.col("jaccard_bp") >= _JACCARD_VERIFY_BP)
+            .select("doc_a", "doc_b", "n_shared_bands", "jaccard_bp")
+            .orderBy("doc_a", "doc_b"))
+
+
+QUERIES["dedup_minhash_verified"] = dedup_minhash_verified
 
 
 SIMHASH_BITS = 32
