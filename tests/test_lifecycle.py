@@ -169,6 +169,23 @@ def test_merge_into_newer_wins(spark, tmp_path):
     assert got == {1: (10, "a"), 2: (20, "newer"), 3: (1, "insert")}
 
 
+def test_merge_into_idempotent(spark, tmp_path):
+    """Re-applying the same update batch is a no-op (MERGE idempotence —
+    what makes epoch replay after a crash safe on an upsert sink)."""
+    store = SnapshotStore(str(tmp_path / "st"))
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k int, ver int, v string")
+    store.commit(epoch=-1, appends={"t": store.stage(base, "t")},
+                 meta={"last_epoch": -1})
+    upd = spark.createDataFrame(
+        [(2, 20, "newer"), (3, 1, "insert")], "k int, ver int, v string")
+    merge_into(spark, store, "t", upd, "k", newer_col="ver")
+    first = sorted(map(tuple, store.read(spark, "t").collect()))
+    merge_into(spark, store, "t", upd, "k", newer_col="ver")
+    second = sorted(map(tuple, store.read(spark, "t").collect()))
+    assert first == second
+
+
 def test_upsert_row_single(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "st"))
     base = spark.createDataFrame([(1, 10, "a")], "k int, ver int, v string")
