@@ -73,21 +73,35 @@ def not_seen(candidates: DataFrame, url_seen: DataFrame | None,
     return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
 
 
-def robots_split(candidates: DataFrame, robots: DataFrame | None
-                 ) -> tuple[DataFrame, DataFrame]:
-    """(allowed, denied) by broadcast per-host disallow prefixes. The path is
-    parsed JVM-side (parse_url) and prefix-tested with a higher-order array
-    function — no Python on this path."""
+def robots_flag(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Adds ``robots_denied:boolean`` by broadcast per-host disallow
+    prefixes. The path is parsed JVM-side (parse_url) and prefix-tested with
+    a higher-order array function — no Python on this path.
+
+    Evaluated at ENQUEUE time (init_run / discovery fold-in / broadening):
+    robots rules are a per-run static dim, so enqueue-time and pop-time
+    evaluation produce the identical denied set — and precomputing lets the
+    epoch's scheduling stages run entirely on compact columns (no URL
+    strings until materialization)."""
     if robots is None:
-        return candidates, candidates.limit(0)
+        return candidates.withColumn("robots_denied", F.lit(False))
     joined = candidates.join(
         F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left")
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     denied_cond = F.coalesce(
         F.exists("disallow_prefixes", lambda p: path.startswith(p)),
         F.lit(False))
-    allowed = joined.filter(~denied_cond).drop("disallow_prefixes")
-    denied = joined.filter(denied_cond).drop("disallow_prefixes")
+    return (joined.withColumn("robots_denied", denied_cond)
+            .drop("disallow_prefixes"))
+
+
+def robots_split(candidates: DataFrame, robots: DataFrame | None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """(allowed, denied) — the pop-time form of :func:`robots_flag`, kept
+    for callers that work on full rows."""
+    flagged = robots_flag(candidates, robots)
+    allowed = flagged.filter(~F.col("robots_denied")).drop("robots_denied")
+    denied = flagged.filter(F.col("robots_denied")).drop("robots_denied")
     return allowed, denied
 
 

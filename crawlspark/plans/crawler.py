@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
+from ..operators.dedup import robots_flag
 from ..tables import SnapshotStore
 from .epoch import EpochResult, record_failed_epoch, run_epoch
 
@@ -27,7 +28,11 @@ def init_run(spark: SparkSession, store: SnapshotStore, frontier: DataFrame,
              robots: DataFrame, budgets: DataFrame,
              files_per_stratum: int = 1) -> None:
     """Commit snapshot 0: frontier split by priority (file-level partition
-    pruning), broadcast dims, exact per-stratum remaining counts."""
+    pruning), broadcast dims, exact per-stratum remaining counts. The
+    ``robots_denied`` flag is precomputed here (enqueue-time evaluation of
+    the static per-run robots dim) so epoch scheduling never needs URL
+    strings before materialization."""
+    frontier = robots_flag(frontier, robots)
     counts = {int(r["priority"]): int(r["n"]) for r in
               frontier.groupBy("priority").agg(F.count("*").alias("n")).collect()}
     appends: dict[str, list[str]] = {"frontier": []}
@@ -57,6 +62,7 @@ def broaden_frontier(spark: SparkSession, store: SnapshotStore,
     commit: new stratum files + bumped remaining counters + the
     ``fallback_added`` flag (so a resumed run never re-broadens)."""
     snap = store.snapshot()
+    fallback = robots_flag(fallback, store.read(spark, "robots"))
     counts = {int(r["priority"]): int(r["n"]) for r in
               fallback.groupBy("priority").agg(F.count("*").alias("n")).collect()}
     remaining = {int(k): int(v) for k, v in

@@ -55,6 +55,12 @@ LOG_COLS = ["epoch", "admission_idx", "url_hash", "url", "host", "image_id",
 FRONTIER_COLS = ["url", "url_hash", "host", "host_hash", "priority", "seq",
                  "image_id", "attempt", "not_before_epoch", "discovered_at"]
 
+# scheduling columns (~36 B/row): everything up to admission runs on these
+COMPACT_COLS = ["url_hash", "host_hash", "priority", "seq", "attempt",
+                "not_before_epoch"]
+# string/payload columns read back only for the admitted + denied key set
+MATERIAL_COLS = ["url_hash", "url", "host", "image_id", "discovered_at"]
+
 
 def _job_schema():
     """Fixed arrow schema for crawl_jobs rows: completed and failed rows must
@@ -129,31 +135,62 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     res = EpochResult(epoch=epoch, p_max=p_max, remaining_by_priority=dict(remaining))
 
     import os
+    # -- COMPACT scheduling read: every stage up to admission runs on hashed
+    # keys + small ints only (parquet column pruning keeps URL/host strings
+    # on disk); strings are read back below for the admitted + denied rows
+    # only. robots_denied was precomputed at enqueue time (crawler.init_run /
+    # ingest fold-in / broadening — the robots dim is static per run).
+    frontier_paths = [os.path.join(store.root, f) for f in files]
     pending = None
     if files:
-        pending = (spark.read.parquet(*[os.path.join(store.root, f) for f in files])
+        pending = (spark.read.parquet(*frontier_paths)
+                   .select(*COMPACT_COLS, "robots_denied")
                    .withColumn("src", F.lit("frontier")))
     retries_raw = store.read(spark, "retries")
     if retries_raw is not None:
-        retries = retries_raw.withColumn("src", F.lit("retry"))
+        retries = (retries_raw
+                   .select(*COMPACT_COLS)
+                   # re-enqueued rows were robots-allowed by construction
+                   .withColumn("robots_denied", F.lit(False))
+                   .withColumn("src", F.lit("retry")))
         pending = retries if pending is None else pending.unionByName(retries)
     if pending is None:
         return res
 
     url_seen = store.read(spark, "url_seen")
     seen_filter = store.read(spark, "seen_filter")
-    robots = store.read(spark, "robots")
     budgets = store.read(spark, "politeness_budget")
 
     cand = dedup.supersede(pending)
     cand = dedup.not_seen(cand, url_seen, seen_filter, cfg)
     cand = cand.filter(F.col("attempt") < cfg.max_attempts)
-    allowed, denied = dedup.robots_split(cand, robots)
-    denied = denied.persist()
+    denied_c = cand.filter(F.col("robots_denied"))
+    allowed = cand.filter(~F.col("robots_denied"))
     gated = allowed.filter(F.col("not_before_epoch") <= epoch)
 
-    admitted = politeness.admit_late_materialized(
-        gated, budgets, epoch, cfg.batch_size).persist()
+    admitted_c = politeness.admit_late_materialized(
+        gated, budgets, epoch, cfg.batch_size)
+
+    # -- string materialization: second column-pruned scan of the same
+    # frontier files (+ the small retries table), semi-joined down to the
+    # admitted + denied key set. At scale this reads string columns for a
+    # few percent of the slice instead of shuffling them through the dedup
+    # agg and both admission sorts.
+    need = (admitted_c.select("url_hash")
+            .unionByName(denied_c.select("url_hash")))
+    strings = None
+    if files:
+        strings = spark.read.parquet(*frontier_paths).select(*MATERIAL_COLS)
+    if retries_raw is not None:
+        rs = retries_raw.select(*MATERIAL_COLS)
+        strings = rs if strings is None else strings.unionByName(rs)
+    strings = (strings.join(need, "url_hash", "left_semi")
+               # duplicate frontier copies share url_hash (canonicalization
+               # twins may differ in raw string); identity is the hash
+               .dropDuplicates(["url_hash"]))
+
+    denied = denied_c.join(strings, "url_hash").persist()
+    admitted = admitted_c.join(strings, "url_hash").persist()
 
     out = admitted.withColumn("outcome", outcome_col(cfg, epoch)).persist()
     fetched = out.filter(F.col("outcome") == OUTCOME_FETCHED)

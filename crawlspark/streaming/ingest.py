@@ -93,6 +93,9 @@ def fold_into_frontier(spark: SparkSession, stream: DataFrame,
         batch = dedup.supersede(batch_df.select(
             "url", "url_hash", "host", "host_hash", "priority", "seq",
             "image_id", "attempt", "not_before_epoch", "discovered_at"))
+        # enqueue-time robots evaluation: staged frontier rows carry the
+        # robots_denied flag so epoch scheduling stays on compact columns
+        batch = dedup.robots_flag(batch, store.read(spark, "robots"))
         seen = store.read(spark, "url_seen")
         if seen is not None:
             batch = batch.join(seen.select("url_hash"), "url_hash", "left_anti")
