@@ -41,8 +41,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: plus the heaviest training-data ops (dedup family, ANN, text analysis).
 HEADLINE = [
     "priority_pop", "dedup_seen", "upsert_merge", "mv_stats", "topk_stars",
-    "scalar_suite", "dedup_exact", "dedup_minhash", "dedup_simhash",
-    "ann_bruteforce", "token_count", "quality_score",
+    "scalar_suite", "dedup_exact", "dedup_minhash", "dedup_minhash_verified",
+    "dedup_simhash", "ann_bruteforce", "ann_ivf", "quality_score",
+    "multimodal_pipeline",
 ]
 
 N_HOSTS = 100_000

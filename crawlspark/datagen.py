@@ -81,7 +81,7 @@ def gen_image_caption(spec: GenSpec) -> pd.DataFrame:
     return df
 
 
-# The 64-row multimodal fixture (textops.multimodal_meta/_resize): generated
+# The 64-row multimodal fixture (textops.multimodal_pipeline): generated
 # once, staged as parquet so the Spark side reads it distributed and the
 # DuckDB oracle reads the same file. Expected decode-derived columns
 # (mean luminance before/after resize) are precomputed here with the exact
@@ -100,7 +100,7 @@ def _mean_lum_x100(px: np.ndarray) -> int:
 
 def _lum_hist4(px: np.ndarray) -> list[int]:
     """4-bin luminance histogram (bins 0-63/64-127/128-191/192-255) — the
-    deterministic image feature-extract used by textops.multimodal_histogram
+    deterministic image feature-extract used by textops.multimodal_pipeline
     and precomputed here as the oracle's expected values."""
     lum = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2])
     idx = np.clip(lum, 0, 255).astype(np.int64) // 64

@@ -70,37 +70,10 @@ def dedup_exact(spark, sf):
             .orderBy("keeper_id"))
 
 
-@q("dedup_ngram_jaccard", """
-WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(floor(len(list_intersect(a.ts, b.ts)) * 10000.0 /
-            (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))) AS BIGINT)
-       AS jaccard_bp
-FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
-ORDER BY doc_a
-""")
-def dedup_ngram_jaccard(spark, sf):
-    """n-gram Jaccard similarity of adjacent doc pairs (integer basis points;
-    exact set algebra on both engines). The adjacent-pair join stands in for
-    the LSH-candidate verification step: at scale you never do all-pairs —
-    MinHash banding (dedup_minhash) produces the candidate pairs and THIS
-    exact Jaccard verifies them."""
-    d = (_t(spark, sf, "documents")
-         .select("doc_id",
-                 F.array_distinct(F.split("text", " ")).alias("ts")))
-    a = d.alias("a")
-    b = d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
-    union = F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter
-    return (a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.floor(inter * 10000.0 / union).cast("long")
-                    .alias("jaccard_bp"))
-            .orderBy("doc_a"))
-
+# (A standalone exact n-gram-Jaccard query was retired in round 3: its
+# adjacent-pair join was a stand-in for LSH-candidate verification, and
+# dedup_minhash_verified now exercises the identical exact-Jaccard set
+# algebra over REAL band candidates end-to-end — the production shape.)
 
 # MinHash oracle: bigram shingles via list_transform (order-free, no window
 # tricks), signature = 8 affine min-hashes, 4 bands of 2 rows each; candidate
@@ -272,38 +245,43 @@ def dedup_simhash(spark, sf):
 QUERIES["dedup_simhash"] = dedup_simhash
 
 
+_EMB_BITS = 4
+_EMB_THRESHOLD = 0.30
+
 _EMB_BUCKET_DUCK = " + ".join(
-    f"CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END" for i in range(3))
+    f"CASE WHEN emb[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+    for i in range(_EMB_BITS))
 
 ORACLE_SQL["dedup_embedding"] = f"""
 WITH x AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          ({_EMB_BUCKET_DUCK}) AS bucket
-  FROM embeddings WHERE vec_id < 150
+  FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_sim
 FROM x a JOIN x b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+WHERE list_cosine_similarity(a.emb, b.emb) >= {_EMB_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
 
 def dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs above a threshold, candidate-routed
-    through a sign-LSH bucket (the ann_lsh hyperplane family, 3 bits -> 8
-    buckets): pairs are only compared when they land in the same bucket, so
-    the join is a bucket EQUI-join (shuffle-hash/SMJ, never
-    BroadcastNestedLoop), and each task only does all-pairs within its own
-    bucket. Near-dup vectors have near-identical sign patterns, so recall
-    loss is the standard LSH trade — at 10^10 scale you'd OR several bucket
-    tables exactly like MinHash bands. tests/test_plan_shape.py asserts no
-    nested-loop join in this plan."""
+    through a sign-LSH bucket (the ann_lsh hyperplane family, 4 bits -> 16
+    buckets) over the FULL embeddings table: pairs are only compared when
+    they land in the same bucket, so the join is a bucket EQUI-join
+    (shuffle-hash/SMJ, never BroadcastNestedLoop), and each task only does
+    all-pairs within its own bucket. Near-dup vectors have near-identical
+    sign patterns, so recall loss is the standard LSH trade — at 10^10 scale
+    you'd OR several bucket tables exactly like MinHash bands. At sf0.01 the
+    oracle certifies ~135 verified pairs routed through ~7.7k in-bucket
+    candidates (vs C(500,2)=124k all-pairs). tests/test_plan_shape.py asserts
+    no nested-loop join in this plan."""
     e = (_t(spark, sf, "embeddings")
-         .filter(F.col("vec_id") < 150)
          .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
     bucket = None
-    for i in range(3):
+    for i in range(_EMB_BITS):
         term = F.when(F.element_at("emb", i + 1) > 0,
                       F.lit(1 << i)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
@@ -322,7 +300,7 @@ def dedup_embedding(spark, sf):
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     cos.alias("_cos"))
-            .filter(F.col("_cos") >= 0.35)
+            .filter(F.col("_cos") >= _EMB_THRESHOLD)
             .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
             .orderBy("vec_a", "vec_b"))
 
@@ -456,26 +434,13 @@ def ann_ivf(spark, sf):
 # text analysis
 # =========================================================================
 
-@q("token_count", """
-SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-       n_chars
-FROM documents ORDER BY doc_id
-""")
-def token_count(spark, sf):
-    """Whitespace token counting (JVM split; no Python). A BPE-ish regex
-    variant is exercised in quality_score's punctuation splitting."""
-    return (_t(spark, sf, "documents")
-            .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"),
-                    "n_chars")
-            .orderBy("doc_id"))
-
-
 @q("quality_score", """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
+       n_chars,
        len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
        CAST(floor(len(list_filter(toks, x -> x IN ('the', 'a'))) * 10000.0
                   / len(toks)) AS BIGINT) AS stop_bp,
@@ -483,15 +448,17 @@ SELECT doc_id,
 FROM t ORDER BY doc_id
 """)
 def quality_score(spark, sf):
-    """Document quality heuristics: token count, stopword ratio, mean word
-    length — the standard pre-training quality gates, all as integer basis
-    points so the oracle compare is exact."""
+    """Document quality heuristics in one projection: whitespace token count
+    (JVM split; no Python — the token-counting operator folded in here),
+    char count, stopword ratio, mean word length — the standard pre-training
+    quality gates, all as integer basis points so the oracle compare is
+    exact."""
     d = (_t(spark, sf, "documents")
          .select("doc_id", F.split("text", " ").alias("toks"), "n_chars"))
     n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
     n_tok = F.size("toks")
     return (d.select(
-        "doc_id", n_tok.alias("n_tokens"), n_stop.alias("n_stop"),
+        "doc_id", n_tok.alias("n_tokens"), "n_chars", n_stop.alias("n_stop"),
         F.floor(n_stop * 10000.0 / n_tok).cast("long").alias("stop_bp"),
         F.floor(F.col("n_chars") * 100.0 / n_tok).cast("long")
         .alias("avg_wordlen_x100"))
@@ -556,18 +523,14 @@ def doc_fingerprint(spark, sf):
 from .datagen import (AUDIO_FIXTURE_PATH, IMAGE_FIXTURE_PATH,  # noqa: E402
                       VIDEO_FIXTURE_PATH)
 
-ORACLE_SQL["multimodal_meta"] = f"""
+ORACLE_SQL["multimodal_pipeline"] = f"""
 SELECT image_id, fmt, w, h,
        CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
-       mean_lum_x100, TRUE AS phash_ok
-FROM read_parquet('{IMAGE_FIXTURE_PATH}') ORDER BY image_id
-"""
-
-ORACLE_SQL["multimodal_resize"] = f"""
-SELECT image_id,
+       mean_lum_x100, TRUE AS phash_ok,
        CAST(w // 2 AS INT) AS w2, CAST(h // 2 AS INT) AS h2,
        CAST((w // 2) * (h // 2) * 3 AS BIGINT) AS n_bytes_out,
-       mean_lum2_x100
+       mean_lum2_x100,
+       hist0, hist1, hist2, hist3
 FROM read_parquet('{IMAGE_FIXTURE_PATH}') ORDER BY image_id
 """
 
@@ -582,51 +545,30 @@ def _image_table(spark):
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
-def multimodal_meta(spark, sf):
-    """Multimodal column plumbing: an image table with an opaque binary
-    payload column flows through mapInPandas, which decodes per Arrow batch
-    and emits typed metadata (decode itself is the pure-numpy codec; a real
-    jpeg/webp decoder drops into the same UDF signature). The driver oracle
-    compares measured mean luminance + phash recompute against the values the
-    generator staged."""
+def multimodal_pipeline(spark, sf):
+    """The full multimodal image stage as ONE mapInPandas pass (merged from
+    the round-2 meta/resize/histogram trio — same fixture scan, one decode
+    per payload now serves all three outputs):
+
+      * metadata + validation: dims, payload size, measured mean luminance,
+        phash recompute vs the stored phash (the crawl invariant, V5);
+      * resize: half-resolution area-mean downsample, re-encoded size +
+        resized luminance — the thumbnail/preprocess stage;
+      * feature-extract: 4-bin luminance histogram — the shape of any
+        per-image featurizer (a CNN embedding drops into the same UDF).
+
+    Decode is inherently per-payload (variable dims/fmt), so the decode loop
+    is per-row, but it is Arrow-batched, fully parallel across partitions,
+    and decodes each payload exactly ONCE for all outputs. A real jpeg/webp
+    decoder slots into the same signature. The driver oracle compares every
+    measured column against generator-staged expected values in the same
+    parquet — non-tautological: Spark recomputes from bytes, DuckDB reads
+    stored expecteds."""
     img = _image_table(spark)
 
-    def _meta(batches):
+    def _pipe(batches):
         from . import codecs
-        from .datagen import _mean_lum_x100
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
-                rows.append({
-                    "image_id": r.image_id, "fmt": r.fmt,
-                    "w": int(r.w), "h": int(r.h),
-                    "n_bytes": len(r.bytes),
-                    "mean_lum_x100": _mean_lum_x100(dec),
-                    "phash_ok": codecs.phash64(dec) == int(r.phash),
-                })
-            yield pd.DataFrame(rows)
-
-    schema = ("image_id string, fmt string, w int, h int, n_bytes long, "
-              "mean_lum_x100 long, phash_ok boolean")
-    return img.mapInPandas(_meta, schema=schema).orderBy("image_id")
-
-
-QUERIES["multimodal_meta"] = multimodal_meta
-
-
-def multimodal_resize(spark, sf):
-    """Thumbnail/resize stage: mapInPandas re-encodes each payload at half
-    resolution (area-mean downsample, raw output) and reports size reduction
-    + resized luminance — the Spark-side shape of an image preprocessing
-    stage (batching, binary-in/binary-out schema). Oracle-checked against the
-    generator's staged expected values."""
-    img = _image_table(spark)
-
-    def _resize(batches):
-        from . import codecs
-        from .datagen import _mean_lum_x100
+        from .datagen import _lum_hist4, _mean_lum_x100
 
         for pdf in batches:
             rows = []
@@ -636,55 +578,29 @@ def multimodal_resize(spark, sf):
                 small = dec.reshape(h2, 2, w2, 2, 3).mean(axis=(1, 3)) \
                            .astype("uint8")
                 buf = codecs.encode_image(small, "raw")
-                rows.append({"image_id": r.image_id, "w2": w2, "h2": h2,
-                             "n_bytes_out": len(buf),
-                             "mean_lum2_x100": _mean_lum_x100(small)})
+                hist = _lum_hist4(dec)
+                rows.append({
+                    "image_id": r.image_id, "fmt": r.fmt,
+                    "w": int(r.w), "h": int(r.h),
+                    "n_bytes": len(r.bytes),
+                    "mean_lum_x100": _mean_lum_x100(dec),
+                    "phash_ok": codecs.phash64(dec) == int(r.phash),
+                    "w2": w2, "h2": h2,
+                    "n_bytes_out": len(buf),
+                    "mean_lum2_x100": _mean_lum_x100(small),
+                    "hist0": hist[0], "hist1": hist[1],
+                    "hist2": hist[2], "hist3": hist[3],
+                })
             yield pd.DataFrame(rows)
 
-    return img.mapInPandas(
-        _resize,
-        schema=("image_id string, w2 int, h2 int, n_bytes_out long, "
-                "mean_lum2_x100 long")
-    ).orderBy("image_id")
+    schema = ("image_id string, fmt string, w int, h int, n_bytes long, "
+              "mean_lum_x100 long, phash_ok boolean, w2 int, h2 int, "
+              "n_bytes_out long, mean_lum2_x100 long, "
+              "hist0 long, hist1 long, hist2 long, hist3 long")
+    return img.mapInPandas(_pipe, schema=schema).orderBy("image_id")
 
 
-QUERIES["multimodal_resize"] = multimodal_resize
-
-
-ORACLE_SQL["multimodal_histogram"] = f"""
-SELECT image_id, hist0, hist1, hist2, hist3
-FROM read_parquet('{IMAGE_FIXTURE_PATH}') ORDER BY image_id
-"""
-
-
-def multimodal_histogram(spark, sf):
-    """Image feature-extract stage (task brief: decode / feature-extract as
-    Pandas UDFs over mapInPandas): 4-bin luminance histogram per decoded
-    payload — the shape of any per-image embedding/feature pass (a CNN
-    featurizer drops into the same UDF). Oracle = generator-staged expected
-    bins."""
-    img = _image_table(spark)
-
-    def _hist(batches):
-        from . import codecs
-        from .datagen import _lum_hist4
-
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                dec = codecs.decode_image(r.bytes, r.fmt, int(r.w), int(r.h))
-                h = _lum_hist4(dec)
-                rows.append({"image_id": r.image_id,
-                             "hist0": h[0], "hist1": h[1],
-                             "hist2": h[2], "hist3": h[3]})
-            yield pd.DataFrame(rows)
-
-    return img.mapInPandas(
-        _hist, schema=("image_id string, hist0 long, hist1 long, "
-                       "hist2 long, hist3 long")).orderBy("image_id")
-
-
-QUERIES["multimodal_histogram"] = multimodal_histogram
+QUERIES["multimodal_pipeline"] = multimodal_pipeline
 
 
 ORACLE_SQL["audio_features"] = f"""
@@ -709,17 +625,32 @@ def audio_features(spark, sf):
         import numpy as np
 
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples():
-                x = np.frombuffer(r.pcm, dtype="<i2").astype(np.float64)
-                rows.append({
-                    "audio_id": r.audio_id,
-                    "n_samples_dec": len(x),
-                    "duration_ms": len(x) * 1000 // int(r.sample_rate),
-                    "rms_x10": int(np.sqrt((x * x).mean()) * 10),
-                    "peak": int(np.abs(x).max()),
-                })
-            yield pd.DataFrame(rows)
+            n = len(pdf)
+            n_dec = np.zeros(n, dtype=np.int64)
+            dur = np.zeros(n, dtype=np.int64)
+            rms = np.zeros(n, dtype=np.int64)
+            peak = np.zeros(n, dtype=np.int64)
+            lens = pdf["pcm"].map(len).to_numpy()
+            rates = pdf["sample_rate"].to_numpy().astype(np.int64)
+            # Vectorized per equal-length group: stack the zero-copy views
+            # into one 2-D array and reduce along axis=1 — mean(axis=1) uses
+            # the same pairwise summation per row as the per-buffer mean, so
+            # results stay bit-identical to the generator's staged expecteds
+            # while the per-row Python arithmetic loop disappears.
+            for L in np.unique(lens):
+                idx = np.nonzero(lens == L)[0]
+                x = np.stack([np.frombuffer(pdf["pcm"].iat[int(i)], dtype="<i2")
+                              for i in idx]).astype(np.float64)
+                ns = x.shape[1]
+                n_dec[idx] = ns
+                dur[idx] = ns * 1000 // rates[idx]
+                rms[idx] = (np.sqrt((x * x).mean(axis=1)) * 10).astype(np.int64)
+                peak[idx] = np.abs(x).max(axis=1).astype(np.int64)
+            yield pd.DataFrame({
+                "audio_id": pdf["audio_id"].to_numpy(),
+                "n_samples_dec": n_dec, "duration_ms": dur,
+                "rms_x10": rms, "peak": peak,
+            })
 
     return aud.mapInPandas(
         _feats, schema=("audio_id string, n_samples_dec long, "
@@ -751,8 +682,6 @@ def video_frame_sample(spark, sf):
     def _sample(batches):
         import numpy as np
 
-        from .datagen import _mean_lum_x100
-
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
@@ -760,12 +689,20 @@ def video_frame_sample(spark, sf):
                 arr = np.frombuffer(r.frames, dtype=np.uint8) \
                     .reshape(nf, h, w, 3)
                 sampled = arr[::4]
-                lum = float(np.mean([_mean_lum_x100(f) for f in sampled]))
+                # One vectorized reduction over all sampled frames: weighted
+                # luminance, per-frame mean along the contiguous pixel axis
+                # (same pairwise summation per row as the generator's
+                # per-frame _mean_lum_x100 loop -> bit-identical ints),
+                # truncate, then mean of the per-frame ints.
+                lum = (0.299 * sampled[..., 0] + 0.587 * sampled[..., 1]
+                       + 0.114 * sampled[..., 2])
+                per_frame = (lum.reshape(lum.shape[0], -1).mean(axis=1)
+                             * 100).astype(np.int64)
                 rows.append({
                     "video_id": r.video_id, "n_frames": nf,
                     "bytes_per_frame": w * h * 3,
                     "n_sampled": int(sampled.shape[0]),
-                    "mean_lum_sampled_x100": int(lum),
+                    "mean_lum_sampled_x100": int(per_frame.mean()),
                 })
             yield pd.DataFrame(rows)
 
