@@ -13,6 +13,9 @@ Maps /root/reference/src/main.py's typer commands onto the engine:
   health     composed per-component status dict (health-check,
              main.py:233-273)
   migrate    sorted .sql executor (setup-database, main.py:104-114)
+  top        top-k crawled rows by a metric + job summary (the show-data
+             surface, /root/reference/show_data.py:25-75: ORDER BY metric
+             DESC listing, row total, crawl-job info)
   pipeline   init -> crawl -> export -> health summary (run-pipeline,
              main.py:276-340)
 
@@ -146,6 +149,46 @@ def cmd_migrate(args) -> int:
     return 0
 
 
+def cmd_top(args) -> int:
+    """Top-k crawl_log rows by a metric, formatted like the reference's
+    show-data listing (show_data.py:25-75), plus the latest job row. The
+    top-k is a TakeOrderedAndProject plan (no global sort materialization)."""
+    from pyspark.sql import functions as F
+
+    from .sources.export import health_check
+    from .tables import SnapshotStore
+
+    spark = _spark(args.cpus)
+    store = SnapshotStore(args.store)
+    df = store.read(spark, args.table)
+    if df is None:
+        print(f"table {args.table!r} has no data", file=sys.stderr)
+        return 1
+    if args.metric not in df.columns:
+        print(f"metric {args.metric!r} not in {args.table} columns "
+              f"{df.columns}", file=sys.stderr)
+        return 1
+    cols = [c for c in ("url", "host", "image_id", "status", args.metric,
+                        "epoch", "fetched_at") if c in df.columns]
+    rows = (df.filter(F.col(args.metric).isNotNull())
+            .orderBy(F.desc(args.metric)).limit(args.k)
+            .select(*dict.fromkeys(cols)).collect())
+    total = df.count()
+
+    widths = {c: max(len(c), *(len(str(r[c])[:40]) for r in rows)) if rows
+              else len(c) for c in cols}
+    header = "  ".join(c.ljust(widths[c]) for c in cols)
+    print(header)
+    print("-" * len(header))
+    for r in rows:
+        print("  ".join(str(r[c])[:40].ljust(widths[c]) for c in cols))
+    print(f"\ntotal rows: {total}")
+    last_job = health_check(spark, store).get("last_job")
+    if last_job:
+        print("last job: " + json.dumps(last_job, default=str))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """init -> crawl -> export CSV+JSON -> health summary (run-pipeline)."""
     rc = cmd_init(args)
@@ -218,6 +261,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--store", required=True)
     p.add_argument("--dir", default="migrations")
     p.set_defaults(fn=cmd_migrate)
+
+    p = sub.add_parser("top", help="top-k crawled rows by a metric")
+    p.add_argument("--store", required=True)
+    p.add_argument("--table", default="crawl_log")
+    p.add_argument("--metric", default="psnr_db")
+    p.add_argument("--k", type=int, default=5)
+    p.set_defaults(fn=cmd_top)
 
     p = sub.add_parser("pipeline", help="init -> crawl -> export -> health")
     p.add_argument("--fixtures", required=True)

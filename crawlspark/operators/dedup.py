@@ -26,6 +26,18 @@ def supersede_order():
             F.asc("priority"), F.asc("seq")]
 
 
+def supersede_key():
+    """Lexicographic winner key for :func:`supersede` as a max-comparable
+    struct: (attempt desc, not_before desc, priority asc, seq asc). Shared
+    with the epoch's string-materialization dedupe so the url/discovered_at
+    that rejoin after admission always belong to the supersede winner."""
+    return F.struct(
+        F.col("attempt").alias("a"),
+        F.col("not_before_epoch").alias("b"),
+        (-F.col("priority")).alias("p"),
+        (-F.col("seq")).alias("s"))
+
+
 def supersede(pending: DataFrame) -> DataFrame:
     """Collapse to one row per url_hash: max attempt wins (a retry replaces
     the original frontier row), then latest backoff, then first-seen order.
@@ -40,11 +52,7 @@ def supersede(pending: DataFrame) -> DataFrame:
     cols = pending.columns
     # struct comparison is lexicographic: (attempt desc, not_before desc,
     # priority asc, seq asc) == max over (attempt, not_before, -priority, -seq)
-    order_key = F.struct(
-        F.col("attempt").alias("a"),
-        F.col("not_before_epoch").alias("b"),
-        (-F.col("priority")).alias("p"),
-        (-F.col("seq")).alias("s"))
+    order_key = supersede_key()
     return (pending.groupBy("url_hash")
             .agg(F.max_by(F.struct(*cols), order_key).alias("_w"))
             .select("_w.*"))

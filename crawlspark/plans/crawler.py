@@ -46,7 +46,17 @@ def init_run(spark: SparkSession, store: SnapshotStore, frontier: DataFrame,
         appends["frontier"].extend(fs)
     appends["robots"] = store.stage(robots, "robots")
     replaces = {"politeness_budget": store.stage(budgets, "politeness_budget")}
+    # Carry pre-init snapshot meta forward (the reference's setup order runs
+    # migrations BEFORE init — migrations_applied must survive init), but
+    # NOT crawl-lifecycle keys: re-initializing an existing store starts the
+    # crawl state fresh (a stale fallback_added would silently disable
+    # broadening on the new run).
+    _CRAWL_KEYS = {"remaining_by_priority", "frontier_files_by_priority",
+                   "last_epoch", "cum_terminal", "counters", "fallback_added"}
+    prior_meta = {k: v for k, v in store.snapshot().meta.items()
+                  if k not in _CRAWL_KEYS}
     store.commit(epoch=-1, appends=appends, replaces=replaces, meta={
+        **prior_meta,
         "remaining_by_priority": {str(k): v for k, v in counts.items()},
         "frontier_files_by_priority": files_by_priority,
         "last_epoch": -1,

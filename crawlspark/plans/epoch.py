@@ -178,16 +178,25 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     # agg and both admission sorts.
     need = (admitted_c.select("url_hash")
             .unionByName(denied_c.select("url_hash")))
+    # the supersede order columns (small ints) ride along so the duplicate-
+    # copy dedupe below picks the SAME winner dedup.supersede picked
+    mat_cols = MATERIAL_COLS + ["attempt", "not_before_epoch",
+                                "priority", "seq"]
     strings = None
     if files:
-        strings = spark.read.parquet(*frontier_paths).select(*MATERIAL_COLS)
+        strings = spark.read.parquet(*frontier_paths).select(*mat_cols)
     if retries_raw is not None:
-        rs = retries_raw.select(*MATERIAL_COLS)
+        rs = retries_raw.select(*mat_cols)
         strings = rs if strings is None else strings.unionByName(rs)
+    # duplicate frontier copies share url_hash but canonicalization twins
+    # differ in raw url/discovered_at — collapse deterministically with the
+    # supersede winner rule (max_by over the shared lexicographic key), so
+    # the materialized strings always match the row admission scheduled
     strings = (strings.join(need, "url_hash", "left_semi")
-               # duplicate frontier copies share url_hash (canonicalization
-               # twins may differ in raw string); identity is the hash
-               .dropDuplicates(["url_hash"]))
+               .groupBy("url_hash")
+               .agg(F.max_by(F.struct(*MATERIAL_COLS), dedup.supersede_key())
+                    .alias("_w"))
+               .select("_w.*"))
 
     denied = denied_c.join(strings, "url_hash").persist()
     admitted = admitted_c.join(strings, "url_hash").persist()

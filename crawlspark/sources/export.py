@@ -117,7 +117,12 @@ def health_check(spark: SparkSession, store) -> dict:
     last_job = None
     jobs = store.read(spark, "crawl_jobs")
     if jobs is not None:
-        rows = (jobs.orderBy(F.desc("epoch"), F.desc("job_id"))
+        # A failed epoch that is later retried leaves BOTH a 'failed' and a
+        # 'completed' row with the same (epoch, job_id) — break the tie
+        # deterministically with 'completed' first (asc: completed < failed),
+        # so a recovered run reports healthy, never a stale 'degraded'.
+        rows = (jobs.orderBy(F.desc("epoch"), F.desc("job_id"),
+                             F.asc("status"))
                 .limit(1).collect())
         if rows:
             last_job = rows[0].asDict()

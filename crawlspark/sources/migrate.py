@@ -27,35 +27,98 @@ from ..tables import SnapshotStore
 
 def split_statements(sql_text: str) -> list[str]:
     """Split a migration file into statements on ';', dropping '--' line
-    comments and blanks (the reference feeds whole files to asyncpg, which
-    does the same internally)."""
-    lines = []
-    for line in sql_text.splitlines():
-        stripped = line.split("--", 1)[0]
-        lines.append(stripped)
-    stmts = [s.strip() for s in "\n".join(lines).split(";")]
-    return [s for s in stmts if s]
+    comments and blanks. Quote-aware: '--' and ';' inside single-quoted
+    literals (with '' escaping) or double-quoted identifiers are content,
+    not syntax — `INSERT ... VALUES ('a;b -- not a comment')` survives."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    in_str: str | None = None
+    i, n = 0, len(sql_text)
+    while i < n:
+        ch = sql_text[i]
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                if in_str == "'" and i + 1 < n and sql_text[i + 1] == "'":
+                    buf.append("'")   # doubled-quote escape stays inside
+                    i += 2
+                    continue
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "-" and sql_text.startswith("--", i):
+            nl = sql_text.find("\n", i)
+            i = n if nl < 0 else nl   # keep the newline as separator
+            continue
+        if ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts
+
+
+def _catalog_objects(spark: SparkSession) -> set[str]:
+    return {t.name.lower() for t in spark.catalog.listTables()}
 
 
 def run_migrations(spark: SparkSession, store: SnapshotStore,
                    migrations_dir: str) -> list[str]:
     """Execute pending ``.sql`` files in sorted order; returns the filenames
-    applied this call. Already-applied files (recorded in snapshot meta under
-    ``migrations_applied``) are skipped, so the runner is idempotent; the
-    applied list is committed atomically AFTER all pending files succeed —
-    a failing statement leaves the recorded schema version unchanged."""
+    newly recorded this call. Already-applied files (recorded in snapshot
+    meta under ``migrations_applied``) are skipped, so the runner is
+    idempotent; the applied list is committed atomically AFTER all pending
+    files succeed — a failing statement leaves the recorded schema version
+    unchanged.
+
+    Catalog-drift healing: the DDL lands in the (ephemeral) session catalog
+    while the applied record is durable, so in a NEW session the two can
+    disagree. Each applied file therefore also records the catalog objects
+    it created (``migrations_objects`` meta); a recorded file whose objects
+    are missing from the current catalog is re-executed (the DDL is
+    idempotent CREATE IF NOT EXISTS) WITHOUT being re-recorded — meta stays
+    history, the catalog converges."""
     snap = store.snapshot()
     applied = list(snap.meta.get("migrations_applied", []))
+    objects = {k: list(v)
+               for k, v in snap.meta.get("migrations_objects", {}).items()}
     ran: list[str] = []
+    healed = False
+    existing = _catalog_objects(spark)
     for fn in sorted(os.listdir(migrations_dir)):
-        if not fn.endswith(".sql") or fn in applied:
+        if not fn.endswith(".sql"):
             continue
+        if fn in applied:
+            objs = objects.get(fn)
+            if objs is None or all(o in existing for o in objs):
+                continue   # catalog agrees with the record — skip
         with open(os.path.join(migrations_dir, fn)) as fh:
             for stmt in split_statements(fh.read()):
                 spark.sql(stmt)
-        ran.append(fn)
-    if ran:
+        now = _catalog_objects(spark)
+        created = sorted(now - existing)
+        existing = now
+        if fn in applied:
+            healed = True   # re-applied for drift; keep the history row
+            objects[fn] = sorted(set(objects.get(fn, [])) | set(created))
+        else:
+            objects[fn] = created
+            ran.append(fn)
+    if ran or healed:
         store.commit(epoch=int(snap.meta.get("last_epoch", -1)),
                      meta={**snap.meta,
-                           "migrations_applied": applied + ran})
+                           "migrations_applied": applied + ran,
+                           "migrations_objects": objects})
     return ran

