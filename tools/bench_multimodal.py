@@ -159,7 +159,8 @@ def main() -> None:
     v_vec, vout_vec = best_of(video_vectorized, video)
     assert vout_row.equals(vout_vec), "video parity"
 
-    print(json.dumps({
+    result = {
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "audio_rows": N_AUDIO,
         "audio_shipped_rowloop_s": round(t_row, 3),
         "audio_rejected_stacked_s": round(t_stk, 3),
@@ -168,7 +169,12 @@ def main() -> None:
         "video_rejected_frameloop_s": round(v_row, 3),
         "video_shipped_vectorized_s": round(v_vec, 3),
         "video_shipped_speedup": round(v_row / v_vec, 2),
-    }))
+    }
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MULTIMODAL_BENCH.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

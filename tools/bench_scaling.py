@@ -152,10 +152,39 @@ def _target_verdict(best: dict) -> str:
             "bottleneck")
 
 
+def _multimodal_section() -> str:
+    """Optional section from tools/bench_multimodal.py's recorded result —
+    the UDF inner-loop A/B evidence (VERDICT r2 #4)."""
+    p = os.path.join(REPO, "MULTIMODAL_BENCH.json")
+    if not os.path.exists(p):
+        return ""
+    with open(p) as fh:
+        m = json.load(fh)
+    return f"""
+## Multimodal UDF inner-loop micro-bench (tools/bench_multimodal.py)
+
+Measured {m['ts']}, per-Arrow-batch UDF body work (what executes inside
+mapInPandas; Arrow transfer identical for both variants):
+
+| op | rows | shipped | rejected alternative | shipped is |
+|---|---|---|---|---|
+| audio features | {m['audio_rows']:,} | per-row cache-resident reductions {m['audio_shipped_rowloop_s']} s | equal-length batch-stacking {m['audio_rejected_stacked_s']} s | **{m['audio_shipped_speedup_vs_stacked']}x faster** |
+| video frame luminance | {m['video_rows']:,} | vectorized per-frame reduction {m['video_shipped_vectorized_s']} s | per-frame Python loop {m['video_rejected_frameloop_s']} s | **{m['video_shipped_speedup']}x faster** |
+
+Audio finding: each 4k-24k-sample buffer is already ONE vectorized numpy
+reduction that stays cache-resident; stacking buffers into 100+ MB 2-D
+arrays converts cache hits into DRAM streaming — 3x slower idle, 30-40x
+slower under concurrent memory load on this bandwidth-bound host. Batching
+pays only when rows are tiny (the video case: 16x16..32x32 frames, where
+the per-FRAME interpreter loop dominated). Measure, don't guess.
+"""
+
+
 def write_bench_md(runs: list[dict]) -> None:
     best = max(runs, key=lambda r: r["scaling_efficiency"])
     lo, hi = best["n_exec_lo"], best["n_exec_hi"]
     ratio = hi / lo
+    n_met = sum(1 for r in runs if r["scaling_efficiency"] >= SCALING_TARGET)
     attempts_rows = "\n".join(
         f"| {r['ts']} | {r['n_urls']:,} | {r['lo']['urls_per_sec']:,.0f} | "
         f"{r['hi']['urls_per_sec']:,.0f} | {r['scaling_efficiency']:.3f} | "
@@ -200,6 +229,9 @@ interleaved (4N, N, 4N, N) adjacent in time, min wall per level.
 
 ## All attempts (burstable host -> take the cleanest window)
 
+{n_met} of {len(runs)} attempts meet the >=0.8 criterion (same code — the
+spread is the co-tenant bandwidth lottery quantified below).
+
 | when | n_urls | N URLs/s | 4N URLs/s | efficiency | cpu ceiling | mem-bw ceiling |
 |---|---|---|---|---|---|---|
 {attempts_rows}
@@ -242,7 +274,7 @@ Reference single-node steady state (`BASELINE.md`): ~25 repos/sec
 Reproduce: `python tools/bench_scaling.py {best['n_urls']}` (appends to
 BENCH_RUNS.jsonl, regenerates this file from the best recorded attempt).
 Headline per-query timings at sf0.1: `python bench.py` (one JSON line).
-"""
+{_multimodal_section()}"""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 
