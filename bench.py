@@ -168,6 +168,11 @@ def run_headline(spark: SparkSession) -> dict:
     # charged for session warm-up
     (spark.read.parquet(f"{SF_DIR}/orders.parquet")
      .limit(1000).write.format("noop").mode("overwrite").save())
+    # fork the Python worker daemon once so the mapInPandas queries measure
+    # Arrow+decode throughput, not one-time worker cold-start
+    (spark.range(64).repartition(8)
+     .mapInPandas(lambda it: it, "id long")
+     .write.format("noop").mode("overwrite").save())
     times: dict[str, float] = {}
     for key in HEADLINE:
         if key not in qs:
