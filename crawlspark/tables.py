@@ -147,6 +147,75 @@ class SnapshotStore:
         return Snapshot(commit_id=cid, epoch=epoch, tables=tables,
                         meta=meta or {})
 
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, spark: "SparkSession", name: str,
+                target_files: int = 1,
+                sort_cols: list[str] | None = None) -> int:
+        """Small-file compaction — the Iceberg ``rewrite_data_files`` analog.
+        An append-per-epoch table accumulates one file set per commit (a
+        10^5-epoch crawl would put 10^5 files behind every scan); compaction
+        rewrites the table into ``target_files`` files (optionally clustered
+        by ``sort_cols``, e.g. host_hash for per-host locality) and commits
+        the swap as a normal REPLACE. Snapshot isolation makes it safe under
+        concurrent readers: old manifests still reference the old files,
+        which stay on disk until :meth:`vacuum`. Returns the number of files
+        compacted away (0 = nothing to do)."""
+        snap = self.snapshot()
+        fs = self.files(name)
+        if len(fs) <= target_files:
+            return 0
+        # guard: a table whose individual file paths are tracked in snapshot
+        # meta (the stratum-pruned frontier) cannot be rewritten wholesale —
+        # the meta references would dangle and a later vacuum would delete
+        # the files they point at
+        meta_blob = json.dumps(snap.meta)
+        if any(rel in meta_blob for rel in snap.tables.get(name, [])):
+            raise ValueError(
+                f"table {name!r} has file paths referenced in snapshot meta "
+                "(file-level partition pruning); compact it per partition, "
+                "not wholesale")
+        df = spark.read.parquet(*fs)
+        df = df.repartition(target_files)
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        staged = self.stage(df, name)
+        self.commit(epoch=snap.epoch, replaces={name: staged},
+                    meta=snap.meta)
+        return len(fs)
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete data files not referenced by any of the last ``keep_last``
+        commit manifests, plus the older manifests themselves — the Iceberg
+        ``expire_snapshots`` analog. Time travel keeps working across the
+        retained commits; anything older is gone. Also reclaims orphans from
+        crashed epochs (staged files whose commit never landed). Single
+        writer only: never run concurrently with an in-flight stage+commit,
+        whose not-yet-referenced files would look like orphans. Returns the
+        deleted store-relative paths."""
+        ids = self.commits()
+        if not ids:
+            return []
+        keep_ids = ids[-max(1, keep_last):]
+        live: set[str] = set()
+        for cid in keep_ids:
+            for files in self.snapshot(cid).tables.values():
+                live.update(files)
+        deleted: list[str] = []
+        for entry in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, entry)
+            if entry == "_log" or not os.path.isdir(tdir):
+                continue
+            for f in sorted(os.listdir(tdir)):
+                rel = f"{entry}/{f}"
+                if rel not in live and f.endswith(".parquet"):
+                    os.remove(os.path.join(tdir, f))
+                    deleted.append(rel)
+        for cid in ids:
+            if cid not in keep_ids:
+                os.remove(self._commit_path(cid))
+        return deleted
+
     # -- read ---------------------------------------------------------------
 
     def files(self, name: str, commit_id: int | None = None) -> list[str]:

@@ -1,0 +1,83 @@
+"""SnapshotStore maintenance: small-file compaction (Iceberg
+rewrite_data_files analog) and vacuum (expire_snapshots analog). An
+append-per-epoch table accumulates one file set per commit; compaction must
+collapse the files without changing content, keep time travel alive until
+vacuum, and refuse tables whose file paths are pinned in snapshot meta (the
+stratum-pruned frontier).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.tables import SnapshotStore
+
+
+@pytest.fixture()
+def appended_store(spark, tmp_path):
+    """A store with 5 commits of 2-partition appends to 'log' (10 files)."""
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.commit(epoch=-1, meta={"last_epoch": -1})
+    for e in range(5):
+        df = (spark.range(e * 100, (e + 1) * 100)
+              .select(F.col("id"), (F.col("id") % 7).alias("host_hash"))
+              .repartition(2))
+        store.commit(epoch=e, appends={"log": store.stage(df, "log")},
+                     meta={"last_epoch": e})
+    return store
+
+
+def test_compact_preserves_content(spark, appended_store):
+    store = appended_store
+    pre = store.read(spark, "log")
+    pre_rows = sorted(map(tuple, pre.collect()))
+    assert len(store.files("log")) == 10
+
+    n = store.compact(spark, "log", target_files=2,
+                      sort_cols=["host_hash"])
+    assert n == 10
+    assert len(store.files("log")) == 2
+    post = store.read(spark, "log")
+    assert sorted(map(tuple, post.collect())) == pre_rows
+    # already compact -> no-op
+    assert store.compact(spark, "log", target_files=2) == 0
+
+
+def test_time_travel_survives_compaction_until_vacuum(spark, appended_store):
+    store = appended_store
+    pre_cid = store.snapshot().commit_id
+    store.compact(spark, "log", target_files=1)
+    # the pre-compaction snapshot still resolves to the old files on disk
+    old = store.read(spark, "log", commit_id=pre_cid)
+    assert old.count() == 500
+
+    deleted = store.vacuum(keep_last=1)
+    assert len(deleted) == 10          # the 10 pre-compaction files
+    assert store.read(spark, "log").count() == 500   # live table intact
+    for rel in deleted:
+        assert not os.path.exists(os.path.join(store.root, rel))
+    # expired manifests are gone too
+    assert store.commits() == [store.snapshot().commit_id]
+
+
+def test_vacuum_reclaims_crash_orphans(spark, appended_store):
+    store = appended_store
+    # a crashed epoch: staged but never committed
+    orphan = store.stage(spark.range(10).select("id"), "log")
+    assert os.path.exists(os.path.join(store.root, orphan[0]))
+    deleted = store.vacuum(keep_last=len(store.commits()))
+    assert orphan[0] in deleted
+    assert store.read(spark, "log").count() == 500
+
+
+def test_compact_refuses_meta_pinned_table(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    fs = store.stage(spark.range(20).repartition(2), "frontier")
+    store.commit(epoch=-1, appends={"frontier": fs},
+                 meta={"frontier_files_by_priority": {"0": fs},
+                       "last_epoch": -1})
+    with pytest.raises(ValueError, match="snapshot meta"):
+        store.compact(spark, "frontier")
