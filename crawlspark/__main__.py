@@ -91,7 +91,8 @@ def cmd_crawl(args) -> int:
     spark = _spark(args.cpus)
     store = SnapshotStore(args.store)
     images = spark.read.parquet(args.images)
-    cfg = CrawlConfig(batch_size=args.batch_size)
+    cfg = CrawlConfig(batch_size=args.batch_size,
+                      compact_every=getattr(args, "compact_every", 0))
     fallback = (spark.read.parquet(args.fallback)
                 if args.fallback else None)
     results = run_crawl(spark, store, images, cfg,
@@ -274,6 +275,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet of broader strata folded in on exhaustion")
     p.add_argument("--target", type=int, default=None,
                    help="terminal-result target gating the fallback fold-in")
+    p.add_argument("--compact-every", type=int, default=0,
+                   help="compact+vacuum the store every N epochs (0 = off)")
     p.set_defaults(fn=cmd_crawl)
 
     p = sub.add_parser("export", help="export a table")

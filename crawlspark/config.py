@@ -39,6 +39,15 @@ class CrawlConfig:
     bloom_bits_per_item: int = 10
     bloom_num_hashes: int = 4
     use_bloom: bool = True
+    # Periodic table maintenance inside the crawl loop (0 = off): every
+    # `compact_every` epochs, append-per-epoch tables are rewritten to
+    # `compact_target_files` files and snapshots older than
+    # `vacuum_keep_last` commits are expired. Pure storage-layer operation —
+    # crawl semantics (ordering, seen set, counters) are unchanged, which
+    # tests/test_compaction.py's loop-parity test asserts.
+    compact_every: int = 0
+    compact_target_files: int = 4
+    vacuum_keep_last: int = 3
 
     def backoff_epochs(self, attempt: int) -> int:
         """Exponential backoff in epochs for a row about to carry `attempt`

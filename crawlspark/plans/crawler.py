@@ -98,6 +98,19 @@ def broaden_frontier(spark: SparkSession, store: SnapshotStore,
               "fallback_added": True})
 
 
+def maintain_store(spark: SparkSession, store: SnapshotStore,
+                   cfg: CrawlConfig) -> None:
+    """Between-epoch table maintenance: compact every non-meta-pinned table
+    above the file target, then expire old snapshots. Storage-layer only —
+    identical crawl results with or without it (loop-parity-tested)."""
+    for name in sorted(store.snapshot().tables):
+        try:
+            store.compact(spark, name, target_files=cfg.compact_target_files)
+        except ValueError:
+            continue   # meta-pinned stratum files (frontier) stay as-is
+    store.vacuum(keep_last=cfg.vacuum_keep_last)
+
+
 def run_crawl(spark: SparkSession, store: SnapshotStore, images: DataFrame,
               cfg: CrawlConfig, max_epochs: int = 1000,
               stop_after_empty: int | None = None,
@@ -116,7 +129,12 @@ def run_crawl(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     An epoch that raises is recorded as a ``crawl_jobs`` row with
     status='failed' + error_message before the exception propagates (T11,
     use_cases.py:168-191); no data from the failed epoch is committed and
-    ``last_epoch`` does not advance, so the next call retries it."""
+    ``last_epoch`` does not advance, so the next call retries it.
+
+    When ``cfg.compact_every`` > 0, every that-many epochs the append-heavy
+    tables are compacted and old snapshots vacuumed (the loop is the single
+    writer, so between-epoch maintenance is race-free); a 10^5-epoch crawl
+    keeps O(target_files) files per table instead of O(epochs)."""
     snap = store.snapshot()
     if snap.commit_id < 0:
         raise RuntimeError("store not initialized; call init_run first")
@@ -138,6 +156,8 @@ def run_crawl(spark: SparkSession, store: SnapshotStore, images: DataFrame,
             record_failed_epoch(store, epoch, exc)
             raise
         results.append(res)
+        if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
+            maintain_store(spark, store, cfg)
         total_terminal += res.n_terminal
         progressed = (res.n_admitted + res.n_denied) > 0
         empty_streak = 0 if progressed else empty_streak + 1

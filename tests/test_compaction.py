@@ -73,6 +73,48 @@ def test_vacuum_reclaims_crash_orphans(spark, appended_store):
     assert store.read(spark, "log").count() == 500
 
 
+def test_crawl_loop_with_maintenance_is_parity(spark, tmp_path):
+    """compact_every inside run_crawl is storage-layer only: a crawl with
+    periodic compaction+vacuum produces byte-identical crawl_log/url_seen to
+    the same crawl without it, while keeping O(target_files) files per table
+    instead of O(epochs)."""
+    import dataclasses
+
+    from crawlspark.plans.crawler import run_crawl
+    from tests.crawl_fixtures import SMALL, SMALL_CFG, init_store, \
+        write_fixtures
+
+    from crawlspark import datagen
+
+    fx = str(tmp_path / "fx")
+    write_fixtures(fx, SMALL)
+    images = spark.createDataFrame(datagen.gen_image_caption(SMALL))
+
+    def crawl(store_dir, cfg):
+        store = init_store(spark, fx, store_dir)
+        run_crawl(spark, store, images, cfg, max_epochs=7)
+        return store
+
+    plain = crawl(str(tmp_path / "plain"), SMALL_CFG)
+    compacted = crawl(str(tmp_path / "compacted"),
+                      dataclasses.replace(SMALL_CFG, compact_every=2,
+                                          compact_target_files=1,
+                                          vacuum_keep_last=2))
+
+    for table in ("crawl_log", "url_seen"):
+        a = sorted(repr(sorted(r.asDict().items()))
+                   for r in plain.read(spark, table).collect())
+        b = sorted(repr(sorted(r.asDict().items()))
+                   for r in compacted.read(spark, table).collect())
+        assert a == b, table
+    # the maintained store stays small: compacted tables at <= target + the
+    # appends since the last maintenance tick (epoch 6 ran after the tick)
+    assert len(compacted.files("crawl_log")) < len(plain.files("crawl_log"))
+    # vacuum expired old manifests: far fewer than the plain run's
+    # init + 7 epoch commits
+    assert len(compacted.commits()) <= 5 < len(plain.commits())
+
+
 def test_compact_refuses_meta_pinned_table(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "store"))
     fs = store.stage(spark.range(20).repartition(2), "frontier")
