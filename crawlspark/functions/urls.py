@@ -45,7 +45,13 @@ def canonicalize_url(url: str) -> str:
     # resolve ./ and ../ without touching a trailing slash
     trailing = path.endswith("/") and path != "/"
     path = posixpath.normpath(path)
-    if trailing:
+    # posixpath.normpath preserves a leading double slash (POSIX special
+    # case); collapse it — crawl canonicalization treats //a and /a as twins
+    if path.startswith("//"):
+        path = "/" + path.lstrip("/")
+    # a path that resolved to root must not grow the trailing slash back
+    # (/x/../ -> /, not //), or canonicalization loses idempotence
+    if trailing and path != "/":
         path += "/"
     if not path.startswith("/"):
         path = "/" + path
