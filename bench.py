@@ -265,6 +265,8 @@ def main() -> None:
         "metric": "frontier URLs scheduled+deduped/sec (headline queries timed at sf0.1)",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
+        "n_headline_queries": len(queries),   # r3 grew the set 12 -> 14;
+                                              # compare per-query, not totals
         "queries": queries,
         "sf": _sf_of(SF_DIR),
         "frontier": fr,
