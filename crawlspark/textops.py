@@ -18,7 +18,7 @@ result but the plan shape that survives 10^10 documents.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 QUERIES: dict = {}
@@ -397,9 +397,13 @@ def ann_ivf(spark, sf):
     """IVF approximate nearest neighbor: a deterministic coarse quantizer
     (every 64th vector is a centroid) assigns vectors to inverted lists; the
     query probes only its own list (nprobe=1) and brute-force-scores there.
-    Plan shape at 100 TB: centroids broadcast, assignment is one narrow pass,
-    lists are the partitioning key — the probe reads ~1/C of the data where
-    brute force reads all of it (ann_bruteforce is the exact baseline)."""
+    Plan shape at 100 TB: centroids broadcast, assignment is one narrow pass
+    whose per-vector argmax is a ``max_by`` AGGREGATE (map-side partial
+    combine collapses the C candidate rows per vector before any shuffle —
+    r3 swap from a row_number window, which globally shuffle-sorted all
+    C x N assignment rows), lists are the partitioning key — the probe reads
+    ~1/C of the data where brute force reads all of it (ann_bruteforce is
+    the exact baseline)."""
     e = (_t(spark, sf, "embeddings")
          .select("vec_id", "label",
                  F.col("embedding").cast("array<double>").alias("emb")))
@@ -413,13 +417,17 @@ def ann_ivf(spark, sf):
         nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
         return dot / (na * nb)
 
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("_sim"), F.asc("cid"))
+    # argmax centroid per vector == max over the lexicographic (sim, -cid)
+    # struct (sim desc, cid asc tiebreak — identical to the oracle's
+    # row_number ordering), as an aggregate so duplicates collapse map-side
     lists = (e.crossJoin(F.broadcast(cents))
              .withColumn("_sim", cos(F.col("emb"), F.col("cemb")))
-             .withColumn("_rnk", F.row_number().over(w))
-             .filter(F.col("_rnk") == 1)
-             .select("vec_id", "label", "emb", "cid"))
+             .groupBy("vec_id")
+             .agg(F.max_by(
+                 F.struct(F.col("label"), F.col("emb"), F.col("cid")),
+                 F.struct(F.col("_sim"), (-F.col("cid")).alias("nc"))
+             ).alias("_w"))
+             .select("vec_id", "_w.label", "_w.emb", "_w.cid"))
     qrow = lists.filter(F.col("vec_id") == 0).select(
         F.col("cid").alias("qcid"), F.col("emb").alias("qemb"))
     return (lists.filter(F.col("vec_id") != 0)

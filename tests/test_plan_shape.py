@@ -119,6 +119,18 @@ def test_admission_shuffles_are_compact(spark):
             assert " url#" not in block and " host#" not in block, block
 
 
+def test_ann_ivf_assignment_partial_agg_no_window(spark, sf01):
+    """The IVF centroid-assignment argmax must be a max_by aggregate with
+    map-side partial combine, never a row_number window (a window would
+    globally shuffle-sort all C x N assignment rows at 10^10 vectors)."""
+    from crawlspark.textops import QUERIES
+
+    plan = plan_of(QUERIES["ann_ivf"](spark, sf01))
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_supersede_partial_agg_no_window(spark):
     """The frontier dedup must plan as an aggregate WITH map-side partial
     (duplicates collapse before the shuffle) and no Window — at 10^10 rows a
