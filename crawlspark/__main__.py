@@ -172,11 +172,12 @@ def cmd_top(args) -> int:
         print(f"metric {args.metric!r} not in {args.table} columns "
               f"{df.columns}", file=sys.stderr)
         return 1
-    cols = [c for c in ("url", "host", "image_id", "status", args.metric,
-                        "epoch", "fetched_at") if c in df.columns]
+    cols = list(dict.fromkeys(
+        c for c in ("url", "host", "image_id", "status", args.metric,
+                    "epoch", "fetched_at") if c in df.columns))
     rows = (df.filter(F.col(args.metric).isNotNull())
             .orderBy(F.desc(args.metric)).limit(args.k)
-            .select(*dict.fromkeys(cols)).collect())
+            .select(*cols).collect())
     total = df.count()
 
     widths = {c: max(len(c), *(len(str(r[c])[:40]) for r in rows)) if rows
@@ -208,7 +209,8 @@ def cmd_compact(args) -> int:
         try:
             n = store.compact(spark, t, target_files=args.target_files,
                               sort_cols=args.cluster_by.split(",")
-                              if args.cluster_by else None)
+                              if args.cluster_by else None,
+                              small_file_bytes=args.small_file_bytes)
         except ValueError:
             if args.table:   # explicit request -> surface the refusal
                 raise
@@ -302,6 +304,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--table", default=None,
                    help="one table (default: every table in the snapshot)")
     p.add_argument("--target-files", type=int, default=1)
+    p.add_argument("--small-file-bytes", type=int, default=None,
+                   help="bin-pack mode: absorb only files below this size, "
+                        "leaving already-compacted large files untouched "
+                        "(default: wholesale rewrite)")
     p.add_argument("--cluster-by", default=None,
                    help="comma-separated sortWithinPartitions columns")
     p.add_argument("--vacuum", action="store_true",

@@ -39,6 +39,11 @@ class CrawlConfig:
     bloom_bits_per_item: int = 10
     bloom_num_hashes: int = 4
     use_bloom: bool = True
+    # Saturation guard: a bucket whose post-update FPP estimate exceeds this
+    # is rebuilt from the full seen set at bits_per_item per actual item
+    # (bloom.rebuild_buckets) — without it, at 10^10 URLs the negative cache
+    # silently degrades to "exact anti-join for everything". None = off.
+    bloom_fpp_rebuild: float | None = 0.05
     # Periodic table maintenance inside the crawl loop (0 = off): every
     # `compact_every` epochs, append-per-epoch tables are rewritten to
     # `compact_target_files` files and snapshots older than
@@ -48,6 +53,10 @@ class CrawlConfig:
     compact_every: int = 0
     compact_target_files: int = 4
     vacuum_keep_last: int = 3
+    # In-loop compaction is incremental (bin-pack): only files below this
+    # size are absorbed, so steady-state maintenance is O(new small files),
+    # never O(table). None = wholesale rewrite every maintenance pass.
+    compact_small_file_bytes: int | None = 64 << 20
 
     def backoff_epochs(self, attempt: int) -> int:
         """Exponential backoff in epochs for a row about to carry `attempt`

@@ -41,6 +41,9 @@ class GenSpec:
     dup_rate: float = 0.10
     dirty_rate: float = 0.05      # canonicalization twins
     robots_block_rate: float = 0.05
+    # image dims drawn from this set; must be multiples of 8 (qdct blocks)
+    # and even (half-res downsample)
+    img_sizes: tuple = (16, 32, 64)
 
 
 def _host_name(i: int) -> str:
@@ -53,12 +56,12 @@ def gen_image_caption(spec: GenSpec) -> pd.DataFrame:
     caption:string, phash:int64). ``phash`` is computed over the *decoded*
     payload so the recompute invariant holds exactly even for lossy qdct."""
     rng = np.random.RandomState(spec.seed)
-    sizes = np.array([16, 32, 64], dtype=np.int32)
+    sizes = np.array(spec.img_sizes, dtype=np.int32)
     rows = []
     for i in range(spec.n_images):
         image_id = f"img_{i:012d}"
-        w = int(sizes[rng.randint(3)])
-        h = int(sizes[rng.randint(3)])
+        w = int(sizes[rng.randint(len(sizes))])
+        h = int(sizes[rng.randint(len(sizes))])
         fmt = codecs.FORMATS[rng.randint(len(codecs.FORMATS))]
         px = codecs.make_pixels(image_id, w, h)
         buf = codecs.encode_image(px, fmt)
@@ -81,16 +84,19 @@ def gen_image_caption(spec: GenSpec) -> pd.DataFrame:
     return df
 
 
-# The 64-row multimodal fixture (textops.multimodal_pipeline): generated
+# The 512-row multimodal fixture (textops.multimodal_pipeline): generated
 # once, staged as parquet so the Spark side reads it distributed and the
 # DuckDB oracle reads the same file. Expected decode-derived columns
 # (mean luminance before/after resize) are precomputed here with the exact
 # arithmetic the mapInPandas UDFs apply, so the driver's value-hash compare
-# checks the decode path end to end.
-IMAGE_FIXTURE_SPEC = GenSpec(seed=42, n_images=64, n_urls=64, n_hosts=4)
+# checks the decode path end to end. Scaled 64 -> 512 rows in round 4 with
+# wider mixed dims (16..128) so the green driver row certifies hundreds of
+# decodes across every fmt x size combination.
+IMAGE_FIXTURE_SPEC = GenSpec(seed=42, n_images=512, n_urls=512, n_hosts=4,
+                             img_sizes=(16, 32, 64, 96, 128))
 IMAGE_FIXTURE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "fixtures", "images_64.parquet")
+    "fixtures", "images_512.parquet")
 
 
 def _mean_lum_x100(px: np.ndarray) -> int:
@@ -149,9 +155,9 @@ def ensure_image_fixture(path: str = IMAGE_FIXTURE_PATH) -> str:
 
 
 AUDIO_FIXTURE_PATH = os.path.join(os.path.dirname(IMAGE_FIXTURE_PATH),
-                                  "audio_32.parquet")
+                                  "audio_256.parquet")
 VIDEO_FIXTURE_PATH = os.path.join(os.path.dirname(IMAGE_FIXTURE_PATH),
-                                  "video_16.parquet")
+                                  "video_64.parquet")
 
 
 def make_pcm(audio_id: str, n_samples: int, rate: int) -> np.ndarray:
@@ -168,10 +174,11 @@ def make_pcm(audio_id: str, n_samples: int, rate: int) -> np.ndarray:
     return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
 
 
-def ensure_audio_fixture(path: str = AUDIO_FIXTURE_PATH, n: int = 32) -> str:
-    """32-row audio table: (audio_id, pcm:binary int16-LE, sample_rate,
+def ensure_audio_fixture(path: str = AUDIO_FIXTURE_PATH, n: int = 256) -> str:
+    """256-row audio table: (audio_id, pcm:binary int16-LE, sample_rate,
     n_samples) + generator-expected features (duration_ms, rms_x10, peak) for
-    the DuckDB oracle; the Spark query recomputes them from the bytes."""
+    the DuckDB oracle; the Spark query recomputes them from the bytes.
+    Scaled 32 -> 256 rows in round 4 with wider rate/length mixes."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -181,8 +188,8 @@ def ensure_audio_fixture(path: str = AUDIO_FIXTURE_PATH, n: int = 32) -> str:
     rows = []
     for i in range(n):
         audio_id = f"aud_{i:08d}"
-        rate = int(rng.choice([8000, 16000]))
-        n_samples = int(rng.choice([4000, 8000, 12000]))
+        rate = int(rng.choice([8000, 16000, 24000]))
+        n_samples = int(rng.choice([4000, 8000, 12000, 16000, 24000]))
         pcm = make_pcm(audio_id, n_samples, rate)
         xf = pcm.astype(np.float64)
         rows.append({
@@ -207,11 +214,12 @@ def ensure_audio_fixture(path: str = AUDIO_FIXTURE_PATH, n: int = 32) -> str:
     return path
 
 
-def ensure_video_fixture(path: str = VIDEO_FIXTURE_PATH, n: int = 16) -> str:
-    """16-row video table: frames = n_frames raw RGB frames concatenated into
+def ensure_video_fixture(path: str = VIDEO_FIXTURE_PATH, n: int = 64) -> str:
+    """64-row video table: frames = n_frames raw RGB frames concatenated into
     one opaque binary column (+ typed metadata), the input_hint pattern for
     video. Expected columns (n_sampled at stride 4, mean sampled luminance)
-    precomputed for the oracle; the Spark query frame-samples the bytes."""
+    precomputed for the oracle; the Spark query frame-samples the bytes.
+    Scaled 16 -> 64 rows in round 4 with wider dim/length mixes."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -222,8 +230,8 @@ def ensure_video_fixture(path: str = VIDEO_FIXTURE_PATH, n: int = 16) -> str:
     rows = []
     for i in range(n):
         video_id = f"vid_{i:06d}"
-        w = h = int(rng.choice([16, 32]))
-        n_frames = int(rng.choice([8, 12, 20]))
+        w = h = int(rng.choice([16, 32, 48]))
+        n_frames = int(rng.choice([8, 12, 20, 32]))
         frames = [codecs.make_pixels(f"{video_id}/f{k}", w, h)
                   for k in range(n_frames)]
         sampled = frames[::stride]

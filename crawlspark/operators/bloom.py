@@ -104,18 +104,93 @@ def probe(candidates: DataFrame, filters: DataFrame | None,
     return candidates.join(probed, "url_hash", "left").na.fill({"maybe_seen": False})
 
 
-def updated_buckets(new_seen: DataFrame, filters: DataFrame | None,
+def saturated_buckets(new_seen: DataFrame, filters: DataFrame,
+                      n_buckets: int, num_hashes: int,
+                      threshold: float) -> list[int]:
+    """Buckets whose post-update FPP estimate would exceed ``threshold``:
+    per-bucket new-item counts joined against the current filter state, the
+    standard bloom FPP ``(1 - e^(-k*n/m))^k`` evaluated as JVM exprs. The
+    result is driver bookkeeping (<= n_buckets rows) steering THIS commit's
+    rebuild routing. Buckets with no prior filter row cannot saturate — a
+    fresh bucket is sized at ``bits_per_item`` per item on creation."""
+    k = num_hashes
+    counts = (new_seen
+              .withColumn("bucket",
+                          F.pmod(F.col("host_hash"), F.lit(n_buckets)).cast("int"))
+              .groupBy("bucket").agg(F.count("*").alias("n_new")))
+    state = latest_filter(filters).select(
+        "bucket", "n_items", (F.length("bits") * 8).cast("double").alias("m_bits"))
+    n_total = (F.col("n_items") + F.col("n_new")).cast("double")
+    fpp = F.pow(F.lit(1.0) - F.exp(-F.lit(float(k)) * n_total / F.col("m_bits")),
+                F.lit(float(k)))
+    return sorted(r["bucket"] for r in counts.join(state, "bucket")
+                  .filter(fpp > threshold).select("bucket").collect())
+
+
+def rebuild_buckets(all_seen: DataFrame, buckets: list[int],
                     n_buckets: int, num_hashes: int, bits_per_item: int,
                     epoch: int, min_bits: int = 1 << 13) -> DataFrame:
+    """Fresh filter rows for ``buckets``, rebuilt from the FULL seen set at
+    ``bits_per_item`` per actual item — the saturation answer: the new array
+    is sized to the bucket's real cardinality, restoring the design-point FPP
+    (~1.2% at 10 bits / 4 hashes). ``all_seen`` needs url_hash + host_hash
+    and must include the current epoch's new rows. One groupBy+applyInPandas
+    pass over only the saturated buckets' rows — O(bucket), not O(table).
+    FP-safety holds by construction: every seen hash sets its bits in the
+    rebuilt array, so no false negatives are possible."""
+    k = num_hashes
+    sb = (all_seen
+          .withColumn("bucket",
+                      F.pmod(F.col("host_hash"), F.lit(n_buckets)).cast("int"))
+          .filter(F.col("bucket").isin([int(b) for b in buckets])))
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(pdf["bucket"].iloc[0])
+        hashes = pdf["url_hash"].unique()
+        m_bits = max(min_bits, bits_per_item * len(hashes) * 8)
+        bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+        _set_bits(bits, hashes, k)
+        return pd.DataFrame({"bucket": [bucket], "bits": [bits.tobytes()],
+                             "n_items": [len(hashes)], "epoch": [epoch]})
+
+    return (sb.select("bucket", "url_hash").groupBy("bucket")
+            .applyInPandas(_build, schema=FILTER_SCHEMA))
+
+
+def updated_buckets(new_seen: DataFrame, filters: DataFrame | None,
+                    n_buckets: int, num_hashes: int, bits_per_item: int,
+                    epoch: int, min_bits: int = 1 << 13,
+                    all_seen: DataFrame | None = None,
+                    fpp_rebuild: float | None = None) -> DataFrame:
     """New filter rows for buckets receiving items this epoch (append these;
     untouched buckets keep their previous row). ``new_seen`` needs
-    ``url_hash`` + ``host_hash``. Bit arrays grow by rebuild when load would
-    exceed bits_per_item capacity — for v1 we size generously up front and
-    track n_items for FPP monitoring."""
+    ``url_hash`` + ``host_hash``.
+
+    Saturation handling: a bucket's bit array is sized from its FIRST batch
+    and thereafter only accumulates set bits, so across enough epochs its
+    FPP climbs toward 1 and the negative cache silently degrades to "exact
+    anti-join for everything" — the precise failure the two-phase design
+    exists to avoid (SURVEY §4.2). When ``fpp_rebuild`` and ``all_seen``
+    (the full seen set INCLUDING this epoch's rows) are supplied, buckets
+    whose post-update :func:`fpp_estimate` would exceed the threshold are
+    rebuilt from scratch at ``bits_per_item`` per actual item
+    (:func:`rebuild_buckets`) instead of bit-or-updated; all other buckets
+    take the normal incremental path. The rebuild touches only the
+    saturated buckets' seen rows — per-epoch maintenance stays O(new items
+    + saturated buckets), never O(all buckets)."""
     k = num_hashes
     nb = new_seen.withColumn("bucket",
                              F.pmod(F.col("host_hash"), F.lit(n_buckets)).cast("int"))
     flt = latest_filter(filters)
+
+    sat: list[int] = []
+    if fpp_rebuild is not None and all_seen is not None and flt is not None:
+        sat = saturated_buckets(new_seen, filters, n_buckets, k, fpp_rebuild)
+    if sat:
+        rebuilt = rebuild_buckets(all_seen, sat, n_buckets, k,
+                                  bits_per_item, epoch, min_bits)
+        nb = nb.filter(~F.col("bucket").isin(sat))
+
     if flt is None:
         spark = new_seen.sparkSession
         flt = spark.createDataFrame([], FILTER_SCHEMA)
@@ -141,9 +216,12 @@ def updated_buckets(new_seen: DataFrame, filters: DataFrame | None,
                              "n_items": [n_old + len(hashes)],
                              "epoch": [epoch]})
 
-    return (nb.select("bucket", "url_hash").groupBy("bucket")
-            .cogroup(flt.groupBy("bucket"))
-            .applyInPandas(_update, schema=FILTER_SCHEMA))
+    updated = (nb.select("bucket", "url_hash").groupBy("bucket")
+               .cogroup(flt.groupBy("bucket"))
+               .applyInPandas(_update, schema=FILTER_SCHEMA))
+    if sat:
+        updated = updated.unionByName(rebuilt)
+    return updated
 
 
 def fpp_estimate(n_items: int, m_bits: int, k: int) -> float:

@@ -105,7 +105,8 @@ def maintain_store(spark: SparkSession, store: SnapshotStore,
     identical crawl results with or without it (loop-parity-tested)."""
     for name in sorted(store.snapshot().tables):
         try:
-            store.compact(spark, name, target_files=cfg.compact_target_files)
+            store.compact(spark, name, target_files=cfg.compact_target_files,
+                          small_file_bytes=cfg.compact_small_file_bytes)
         except ValueError:
             continue   # meta-pinned stratum files (frontier) stay as-is
     store.vacuum(keep_last=cfg.vacuum_keep_last)

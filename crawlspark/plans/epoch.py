@@ -333,9 +333,16 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     appends["url_seen"] = store.stage(new_seen, "url_seen")
     appends["epoch_metrics"] = store.stage(metrics, "epoch_metrics")
     if cfg.use_bloom:
+        # all_seen (prior url_seen + this epoch's rows) feeds the saturation
+        # rebuild path only — touched iff a bucket's FPP crossed the threshold
+        all_seen = new_seen.select("url_hash", "host_hash")
+        if url_seen is not None:
+            all_seen = (url_seen.select("url_hash", "host_hash")
+                        .unionByName(all_seen))
         flt_new = bloom_ops.updated_buckets(
             new_seen, seen_filter, cfg.n_filter_buckets, cfg.bloom_num_hashes,
-            cfg.bloom_bits_per_item, epoch)
+            cfg.bloom_bits_per_item, epoch,
+            all_seen=all_seen, fpp_rebuild=cfg.bloom_fpp_rebuild)
         fltf = store.stage(flt_new, "seen_filter")
         if fltf:
             appends["seen_filter"] = fltf

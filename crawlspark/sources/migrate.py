@@ -71,7 +71,26 @@ def split_statements(sql_text: str) -> list[str]:
 
 
 def _catalog_objects(spark: SparkSession) -> set[str]:
-    return {t.name.lower() for t in spark.catalog.listTables()}
+    """Catalog objects across ALL databases (db-qualified), plus unqualified
+    temp views. Enumerating only the current database would make drift
+    healing blind to objects a migration created elsewhere."""
+    out: set[str] = set()
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if t.namespace:  # permanent object: qualify with its database
+                out.add(".".join(t.namespace).lower() + "." + t.name.lower())
+            else:            # temp view: no namespace, session-global name
+                out.add(t.name.lower())
+    return out
+
+
+def _is_idempotent_ddl(stmt: str) -> bool:
+    """True for statements safe to re-execute during drift healing: CREATE
+    [OR REPLACE] [TABLE|VIEW|...] (the IF NOT EXISTS / OR REPLACE forms are
+    no-ops or converge on re-run). DML (INSERT seeds, UPDATE, ...) must NOT
+    be healed — replaying it in every new session would duplicate data."""
+    head = stmt.lstrip().split(None, 1)[0].upper() if stmt.strip() else ""
+    return head == "CREATE"
 
 
 def run_migrations(spark: SparkSession, store: SnapshotStore,
@@ -100,13 +119,23 @@ def run_migrations(spark: SparkSession, store: SnapshotStore,
     for fn in sorted(os.listdir(migrations_dir)):
         if not fn.endswith(".sql"):
             continue
+        with open(os.path.join(migrations_dir, fn)) as fh:
+            stmts = split_statements(fh.read())
         if fn in applied:
             objs = objects.get(fn)
             if objs is None or all(o in existing for o in objs):
                 continue   # catalog agrees with the record — skip
-        with open(os.path.join(migrations_dir, fn)) as fh:
-            for stmt in split_statements(fh.read()):
-                spark.sql(stmt)
+            if not all(_is_idempotent_ddl(s) for s in stmts):
+                # healing would replay DML (e.g. seed INSERTs) every new
+                # session; leave the drift for the operator to resolve
+                raise RuntimeError(
+                    f"migration {fn!r} was applied but its catalog objects "
+                    f"are missing, and the file contains non-CREATE "
+                    f"statements that cannot be safely re-executed; "
+                    f"recreate the objects manually or split the DML into "
+                    f"its own migration")
+        for stmt in stmts:
+            spark.sql(stmt)
         now = _catalog_objects(spark)
         created = sorted(now - existing)
         existing = now

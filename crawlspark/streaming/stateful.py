@@ -118,11 +118,18 @@ def token_bucket_admission(discoveries: DataFrame, budgets,
                 tokens, last_trigger = state.get
                 elapsed = max(0, trig - int(last_trigger))
                 avail = min(capacity, int(tokens) + elapsed * refill)
+                # the refill clock never rolls backward: a late batch whose
+                # trigger index precedes the stored one gets zero elapsed
+                # credit (clamp above) AND must not regress last_trigger —
+                # otherwise the next in-order batch would compute an
+                # inflated elapsed and over-credit refill
+                next_trigger = max(trig, int(last_trigger))
             else:
                 avail = capacity   # a fresh bucket starts full
+                next_trigger = trig
             grp = grp.sort_values(ORDER_COLS, kind="mergesort")
             n_admit = min(avail, len(grp))
-            state.update((int(avail - n_admit), trig))
+            state.update((int(avail - n_admit), next_trigger))
             outs.append(pd.DataFrame({
                 "host": host,
                 "url": grp["url"].to_numpy(),

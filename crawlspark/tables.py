@@ -151,38 +151,54 @@ class SnapshotStore:
 
     def compact(self, spark: "SparkSession", name: str,
                 target_files: int = 1,
-                sort_cols: list[str] | None = None) -> int:
+                sort_cols: list[str] | None = None,
+                small_file_bytes: int | None = None) -> int:
         """Small-file compaction — the Iceberg ``rewrite_data_files`` analog.
         An append-per-epoch table accumulates one file set per commit (a
         10^5-epoch crawl would put 10^5 files behind every scan); compaction
-        rewrites the table into ``target_files`` files (optionally clustered
-        by ``sort_cols``, e.g. host_hash for per-host locality) and commits
-        the swap as a normal REPLACE. Snapshot isolation makes it safe under
+        rewrites files into ``target_files`` files (optionally clustered by
+        ``sort_cols``, e.g. host_hash for per-host locality) and commits the
+        swap as a normal REPLACE. Snapshot isolation makes it safe under
         concurrent readers: old manifests still reference the old files,
-        which stay on disk until :meth:`vacuum`. Returns the number of files
-        compacted away (0 = nothing to do)."""
+        which stay on disk until :meth:`vacuum`.
+
+        With ``small_file_bytes`` set, compaction is INCREMENTAL (Iceberg's
+        bin-pack): only files smaller than the threshold are absorbed;
+        already-compacted large files keep their exact paths and are never
+        re-read or rewritten. That keeps per-epoch maintenance O(new small
+        files) instead of O(table) — the difference between a bounded
+        maintenance job and rewriting a 100 TB crawl_log every few epochs.
+        ``small_file_bytes=None`` rewrites the whole table (one-off
+        re-clustering). Returns the number of files compacted away
+        (0 = nothing to do)."""
         snap = self.snapshot()
-        fs = self.files(name)
-        if len(fs) <= target_files:
+        rels = snap.tables.get(name, [])
+        if small_file_bytes is None:
+            absorb, keep = list(rels), []
+        else:
+            absorb, keep = [], []
+            for r in rels:
+                size = os.path.getsize(os.path.join(self.root, r))
+                (absorb if size < small_file_bytes else keep).append(r)
+        if len(absorb) <= target_files:
             return 0
-        # guard: a table whose individual file paths are tracked in snapshot
-        # meta (the stratum-pruned frontier) cannot be rewritten wholesale —
-        # the meta references would dangle and a later vacuum would delete
-        # the files they point at
+        # guard: a file whose path is tracked in snapshot meta (the
+        # stratum-pruned frontier) cannot be absorbed — the meta reference
+        # would dangle and a later vacuum would delete the file it points at
         meta_blob = json.dumps(snap.meta)
-        if any(rel in meta_blob for rel in snap.tables.get(name, [])):
+        if any(rel in meta_blob for rel in absorb):
             raise ValueError(
                 f"table {name!r} has file paths referenced in snapshot meta "
                 "(file-level partition pruning); compact it per partition, "
                 "not wholesale")
-        df = spark.read.parquet(*fs)
+        df = spark.read.parquet(*[os.path.join(self.root, r) for r in absorb])
         df = df.repartition(target_files)
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
         staged = self.stage(df, name)
-        self.commit(epoch=snap.epoch, replaces={name: staged},
+        self.commit(epoch=snap.epoch, replaces={name: keep + staged},
                     meta=snap.meta)
-        return len(fs)
+        return len(absorb)
 
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data files not referenced by any of the last ``keep_last``
@@ -208,8 +224,16 @@ class SnapshotStore:
                 continue
             for f in sorted(os.listdir(tdir)):
                 rel = f"{entry}/{f}"
-                if rel not in live and f.endswith(".parquet"):
-                    os.remove(os.path.join(tdir, f))
+                path = os.path.join(tdir, f)
+                if f.startswith(".stage-") and os.path.isdir(path):
+                    # a crash during stage() before the rename loop leaves
+                    # the whole temp dir behind; its files are by definition
+                    # unreferenced (paths are only recorded after rename)
+                    import shutil
+                    shutil.rmtree(path)
+                    deleted.append(rel)
+                elif rel not in live and f.endswith(".parquet"):
+                    os.remove(path)
                     deleted.append(rel)
         for cid in ids:
             if cid not in keep_ids:
@@ -255,7 +279,8 @@ def dedup_updates(updates: "DataFrame", key: str,
 
 def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
                updates: "DataFrame", key: str,
-               newer_col: str | None = None) -> None:
+               newer_col: str | None = None,
+               n_buckets: int | None = None) -> None:
     """S7 batch upsert: ``MERGE INTO <name> USING updates ON t.key = s.key
     WHEN MATCHED [AND t.newer_col < s.newer_col] THEN UPDATE *
     WHEN NOT MATCHED THEN INSERT *`` — the reference's staging+ON CONFLICT
@@ -266,31 +291,105 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
     (target rows not superseded), committed as an atomic table replace. On
     Iceberg this function is one ``MERGE INTO`` statement; the join below is
     the exact distributed plan Iceberg would run (shuffle on the key, AQE
-    skew-safe), so the emulation carries the same scale shape. At 100 TB the
-    replace would be partition-scoped (only buckets containing updated keys
-    rewritten); the snapshot manifest supports that via per-file appends."""
+    skew-safe), so the emulation carries the same scale shape.
+
+    ``n_buckets`` makes the merge PARTITION-SCOPED (the Iceberg
+    bucket-partitioned MERGE): the table is maintained as ``pmod(
+    xxhash64(key), n_buckets)`` bucket file-sets (mapping recorded in
+    snapshot meta ``merge_buckets``), and a merge rewrites ONLY buckets
+    containing updated keys — untouched buckets keep their exact files. At
+    100 TB that is the difference between rewriting the whole table per
+    merge batch and rewriting a few buckets. The first bucketed merge on an
+    existing unbucketed table performs the one-time full bucketing rewrite;
+    thereafter every merge is scoped. Both the matched-row check and the
+    anti-join read only the touched buckets' files (the bucket is a pure
+    function of the key, so matches cannot live elsewhere)."""
     from pyspark.sql import functions as F
 
     updates = dedup_updates(updates, key, newer_col)
-
-    target = store.read(spark, name)
-    if target is not None and newer_col is not None:
-        # drop updates that are NOT newer than their matched target row
-        t_keyed = target.select(F.col(key),
-                                F.col(newer_col).alias("_t_newer"))
-        updates = (updates.join(t_keyed, key, "left")
-                   .filter(F.col("_t_newer").isNull()
-                           | (F.col(newer_col) > F.col("_t_newer")))
-                   .drop("_t_newer"))
-    if target is None:
-        merged = updates
-    else:
-        kept = target.join(updates.select(key), key, "left_anti")
-        merged = kept.unionByName(updates)
     snap = store.snapshot()
+
+    if n_buckets is None:
+        target = store.read(spark, name)
+        if target is not None and newer_col is not None:
+            # drop updates that are NOT newer than their matched target row
+            t_keyed = target.select(F.col(key),
+                                    F.col(newer_col).alias("_t_newer"))
+            updates = (updates.join(t_keyed, key, "left")
+                       .filter(F.col("_t_newer").isNull()
+                               | (F.col(newer_col) > F.col("_t_newer")))
+                       .drop("_t_newer"))
+        if target is None:
+            merged = updates
+        else:
+            kept = target.join(updates.select(key), key, "left_anti")
+            merged = kept.unionByName(updates)
+        store.commit(epoch=int(snap.meta.get("last_epoch", -1)),
+                     replaces={name: store.stage(merged, name)},
+                     meta=snap.meta)
+        return
+
+    bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    all_buckets: dict = snap.meta.get("merge_buckets", {})
+    bucket_files = all_buckets.get(name)
+
+    if bucket_files is None:
+        # first bucketed merge: one-time full bucketing rewrite (merge via
+        # the plain path semantics, then split the result by bucket)
+        target = store.read(spark, name)
+        if target is not None and newer_col is not None:
+            t_keyed = target.select(F.col(key),
+                                    F.col(newer_col).alias("_t_newer"))
+            updates = (updates.join(t_keyed, key, "left")
+                       .filter(F.col("_t_newer").isNull()
+                               | (F.col(newer_col) > F.col("_t_newer")))
+                       .drop("_t_newer"))
+        merged = updates if target is None else (
+            target.join(updates.select(key), key, "left_anti")
+            .unionByName(updates))
+        merged = merged.persist()
+        present = sorted(int(r["_b"]) for r in
+                         merged.select(bucket_of.alias("_b")).distinct()
+                         .collect())
+        new_map: dict = {}
+        files: list[str] = []
+        for b in present:
+            fs = store.stage(merged.filter(bucket_of == b), name)
+            new_map[str(b)] = fs
+            files.extend(fs)
+        merged.unpersist()
+    else:
+        # scoped path: updates touch a known set of buckets; read, merge and
+        # rewrite only those
+        updates = updates.persist()
+        touched = sorted(int(r["_b"]) for r in
+                         updates.select(bucket_of.alias("_b")).distinct()
+                         .collect())
+        tfiles = [os.path.join(store.root, f)
+                  for b in touched for f in bucket_files.get(str(b), [])]
+        target_t = spark.read.parquet(*tfiles) if tfiles else None
+        if target_t is not None and newer_col is not None:
+            t_keyed = target_t.select(F.col(key),
+                                      F.col(newer_col).alias("_t_newer"))
+            updates = (updates.join(t_keyed, key, "left")
+                       .filter(F.col("_t_newer").isNull()
+                               | (F.col(newer_col) > F.col("_t_newer")))
+                       .drop("_t_newer"))
+        merged = updates if target_t is None else (
+            target_t.join(updates.select(key), key, "left_anti")
+            .unionByName(updates))
+        merged = merged.persist()
+        new_map = {k: list(v) for k, v in bucket_files.items()}
+        for b in touched:
+            new_map[str(b)] = store.stage(merged.filter(bucket_of == b), name)
+        merged.unpersist()
+        updates.unpersist()
+        files = [f for b in sorted(new_map, key=int) for f in new_map[b]]
+
     store.commit(epoch=int(snap.meta.get("last_epoch", -1)),
-                 replaces={name: store.stage(merged, name)},
-                 meta=snap.meta)
+                 replaces={name: files},
+                 meta={**snap.meta,
+                       "merge_buckets": {**all_buckets, name: new_map}})
 
 
 def upsert_row(spark: "SparkSession", store: SnapshotStore, name: str,

@@ -53,6 +53,77 @@ MH_COEF = [(443, 907), (571, 211), (727, 383), (911, 653),
 # deduplication
 # =========================================================================
 
+# Per-task bucket cap for LSH candidate self-joins: a bucket with more
+# members than this routes through the salted two-phase pair generator
+# below. At the default the normal path covers every sane bucket; only a
+# mega-cluster of near-identical documents (the 100-TB failure mode: one
+# band bucket holding 10^5 boilerplate copies -> 10^10 pairs in ONE task)
+# crosses into the salted path.
+_PAIR_BUCKET_CAP = 4096
+
+
+def _skew_safe_bucket_pairs(df: DataFrame, bucket_col: str, id_col: str,
+                            cap: int = _PAIR_BUCKET_CAP) -> DataFrame:
+    """All intra-bucket candidate pairs — ``(a, b)`` struct columns of the
+    input rows with ``a[id_col] < b[id_col]`` — with BOUNDED per-task work.
+
+    The naive bucket self-equi-join puts a k-member bucket's k^2/2 pairs in
+    one task; one mega-cluster of near-identical docs stalls the whole
+    stage (the skew failure of LSH banding at scale). Hardening, the same
+    salting discipline as ``politeness.admit``:
+
+      1. census: one cheap groupBy counts bucket sizes; buckets over
+         ``cap`` become "giant" (broadcast dim — only mega-clusters).
+      2. normal buckets: direct self-equi-join on the bucket key, exactly
+         the plan as before.
+      3. giant buckets: two-phase TRIANGLE join. Each row gets a
+         deterministic salt ``g = pmod(xxhash64(id), S)`` with
+         ``S = ceil(k / cap)``; the pair space splits into S*(S+1)/2 salt
+         cells, the left side replicated to cells ``(g, j>=g)``, the right
+         to ``(i<=g, g)``, joined on (bucket, cell). Every unordered pair
+         lands in EXACTLY one cell — off-diagonal cells see it once in
+         arbitrary side order (normalized after the join), diagonal cells
+         dedup via the id ordering — and each cell holds ~(k/S)^2 = cap^2
+         pairs, so per-task work is capped regardless of cluster size.
+
+    Output is identical to the naive join (asserted in
+    tests/test_pair_skew.py); only the task-level distribution changes."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    census = df.groupBy(bucket_col).agg(F.count("*").alias("_n"))
+    giant = census.filter(F.col("_n") > cap)
+    dfc = df.join(F.broadcast(giant), bucket_col, "left")
+    normal = dfc.filter(F.col("_n").isNull())
+    big = dfc.filter(F.col("_n").isNotNull())
+
+    a_n = normal.select(F.col(bucket_col).alias("_bk"), row.alias("a"))
+    b_n = normal.select(F.col(bucket_col).alias("_bk"), row.alias("b"))
+    pairs_n = (a_n.join(b_n, "_bk")
+               .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+               .select("a", "b"))
+
+    s_of = F.ceil(F.col("_n") / F.lit(cap)).cast("int")
+    g_of = F.pmod(F.xxhash64(F.col(id_col)), s_of).cast("int")
+    a_g = (big.select(F.col(bucket_col).alias("_bk"), g_of.alias("_g"),
+                      s_of.alias("_s"), row.alias("a"))
+           .select("_bk", F.col("_g").alias("_c1"),
+                   F.explode(F.sequence(F.col("_g"), F.col("_s") - 1))
+                   .alias("_c2"), "a"))
+    b_g = (big.select(F.col(bucket_col).alias("_bk"), g_of.alias("_g"),
+                      row.alias("b"))
+           .select("_bk",
+                   F.explode(F.sequence(F.lit(0), F.col("_g")))
+                   .alias("_c1"), F.col("_g").alias("_c2"), "b"))
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    joined = a_g.join(b_g, ["_bk", "_c1", "_c2"]).filter(
+        ((F.col("_c1") != F.col("_c2")) & (ida != idb))
+        | ((F.col("_c1") == F.col("_c2")) & (ida < idb)))
+    # off-diagonal cells see the pair in salt order, not id order — normalize
+    pairs_g = joined.select(
+        F.when(ida < idb, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(ida < idb, F.col("b")).otherwise(F.col("a")).alias("b"))
+
+    return pairs_n.unionByName(pairs_g)
+
 @q("dedup_exact", """
 SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
        md5(lower(text)) AS fp
@@ -137,10 +208,11 @@ def dedup_minhash(spark, sf):
     melted = bands.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{k}") for k in range(4)])).alias("band"))
-    a = melted.alias("a")
-    b = melted.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    # skew-hardened band self-join: a mega-cluster of near-identical docs
+    # (one band bucket, k members, k^2 pairs) routes through the salted
+    # two-phase pair generator instead of landing in one task
+    pairs = _skew_safe_bucket_pairs(melted, "band", "doc_id")
+    return (pairs
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("n_shared_bands"))
@@ -286,7 +358,6 @@ def dedup_embedding(spark, sf):
                       F.lit(1 << i)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     e = e.withColumn("bucket", bucket)
-    a, b = e.alias("a"), e.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -295,8 +366,10 @@ def dedup_embedding(spark, sf):
     nb = F.sqrt(F.aggregate(F.col("b.emb"), F.lit(0.0),
                             lambda acc, x: acc + x * x))
     cos = dot / (na * nb)
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    # skew-hardened in-bucket pair generation (same discipline as the
+    # minhash band join: one giant sign-bucket never lands in one task)
+    pairs = _skew_safe_bucket_pairs(e, "bucket", "vec_id")
+    return (pairs
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     cos.alias("_cos"))
@@ -393,17 +466,20 @@ FROM lists l JOIN probe p ON l.cid = p.cid
 WHERE l.vec_id != 0
 ORDER BY cos_sim DESC, l.vec_id ASC LIMIT 10
 """)
-def ann_ivf(spark, sf):
+def ann_ivf(spark, sf, nprobe: int = 1):
     """IVF approximate nearest neighbor: a deterministic coarse quantizer
     (every 64th vector is a centroid) assigns vectors to inverted lists; the
-    query probes only its own list (nprobe=1) and brute-force-scores there.
+    query probes its ``nprobe`` nearest lists and brute-force-scores there.
     Plan shape at 100 TB: centroids broadcast, assignment is one narrow pass
     whose per-vector argmax is a ``max_by`` AGGREGATE (map-side partial
     combine collapses the C candidate rows per vector before any shuffle —
     r3 swap from a row_number window, which globally shuffle-sorted all
     C x N assignment rows), lists are the partitioning key — the probe reads
-    ~1/C of the data where brute force reads all of it (ann_bruteforce is
-    the exact baseline)."""
+    ~nprobe/C of the data where brute force reads all of it (ann_bruteforce
+    is the exact baseline). ``nprobe`` is the operator's real API: the
+    recall/cost curve (measured in BENCH.md via tools/bench_ivf_recall.py —
+    recall@10 is monotone in nprobe, asserted in tests/test_ivf_recall.py);
+    the registered driver query pins nprobe=1, the oracle's contract."""
     e = (_t(spark, sf, "embeddings")
          .select("vec_id", "label",
                  F.col("embedding").cast("array<double>").alias("emb")))
@@ -428,10 +504,20 @@ def ann_ivf(spark, sf):
                  F.struct(F.col("_sim"), (-F.col("cid")).alias("nc"))
              ).alias("_w"))
              .select("vec_id", "_w.label", "_w.emb", "_w.cid"))
-    qrow = lists.filter(F.col("vec_id") == 0).select(
-        F.col("cid").alias("qcid"), F.col("emb").alias("qemb"))
+    if nprobe <= 1:
+        # degenerate probe: the query's own list (the oracle's contract)
+        probed = lists.filter(F.col("vec_id") == 0).select(
+            F.col("cid").alias("qcid"), F.col("emb").alias("qemb"))
+    else:
+        # the query's top-nprobe centroids by similarity — C rows against
+        # broadcast centroids, a driver-side-tiny TakeOrdered
+        q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+        probed = (q.crossJoin(F.broadcast(cents))
+                  .withColumn("_sim", cos(F.col("qemb"), F.col("cemb")))
+                  .orderBy(F.desc("_sim"), F.asc("cid")).limit(nprobe)
+                  .select(F.col("cid").alias("qcid"), "qemb"))
     return (lists.filter(F.col("vec_id") != 0)
-            .join(F.broadcast(qrow), F.col("cid") == F.col("qcid"))
+            .join(F.broadcast(probed), F.col("cid") == F.col("qcid"))
             .select("vec_id", "label",
                     F.round(cos(F.col("emb"), F.col("qemb")), 4)
                     .alias("cos_sim"))

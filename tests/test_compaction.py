@@ -123,3 +123,45 @@ def test_compact_refuses_meta_pinned_table(spark, tmp_path):
                        "last_epoch": -1})
     with pytest.raises(ValueError, match="snapshot meta"):
         store.compact(spark, "frontier")
+
+
+def test_binpack_compaction_leaves_large_files_untouched(spark, appended_store):
+    """Incremental (bin-pack) compaction: with small_file_bytes set, only
+    files below the threshold are absorbed; already-compacted large files
+    keep their EXACT paths (never re-read, never rewritten) and content is
+    preserved. Per-epoch maintenance is O(new small files), not O(table)."""
+    store = appended_store
+    pre_rows = sorted(map(tuple, store.read(spark, "log").collect()))
+
+    # make one file decisively "large": full-table compact into 1 file first
+    assert store.compact(spark, "log", target_files=1) == 10
+    big = store.snapshot().tables["log"]
+    assert len(big) == 1
+    big_size = os.path.getsize(os.path.join(store.root, big[0]))
+
+    # then 3 more small appends (epoch tail after the last maintenance tick)
+    for e in range(5, 8):
+        df = (spark.range(e * 100, (e + 1) * 100)
+              .select(F.col("id"), (F.col("id") % 7).alias("host_hash"))
+              .repartition(2))
+        store.commit(epoch=e, appends={"log": store.stage(df, "log")},
+                     meta={"last_epoch": e})
+    assert len(store.files("log")) == 7   # 1 big + 6 small
+
+    n = store.compact(spark, "log", target_files=1,
+                      small_file_bytes=big_size)   # big file is >= threshold
+    assert n == 6                                  # only the smalls absorbed
+    post_files = store.snapshot().tables["log"]
+    assert len(post_files) == 2
+    assert big[0] in post_files                    # exact path survived
+    # content preserved: original 500 rows + the 300 appended
+    all_rows = sorted(map(tuple, store.read(spark, "log").collect()))
+    assert len(all_rows) == 800
+    assert pre_rows == [r for r in all_rows if r[0] < 500]
+
+    # bin-pack is idempotent at steady state: nothing small left to absorb
+    # beyond the target, so the next pass is a no-op
+    small_now = [f for f in store.snapshot().tables["log"]
+                 if os.path.getsize(os.path.join(store.root, f)) < big_size]
+    assert store.compact(spark, "log", target_files=len(small_now),
+                         small_file_bytes=big_size) == 0

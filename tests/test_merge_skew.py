@@ -40,7 +40,9 @@ def test_dedup_updates_partial_agg_under_skew(spark):
     assert "Window" not in plan
 
 
-def test_merge_into_correct_under_skew(spark, tmp_path):
+@pytest.mark.parametrize("n_buckets", [None, 8],
+                         ids=["wholesale", "bucketed"])
+def test_merge_into_correct_under_skew(spark, tmp_path, n_buckets):
     store = SnapshotStore(str(tmp_path / "store"))
     store.commit(epoch=-1, meta={"last_epoch": -1})
 
@@ -49,9 +51,11 @@ def test_merge_into_correct_under_skew(spark, tmp_path):
     seed = spark.range(100).select(
         F.col("id").alias("k"), F.lit(-1).cast("long").alias("ts"),
         F.lit(0).cast("long").alias("payload"))
-    merge_into(spark, store, "t", seed, "k", newer_col="ts")
+    merge_into(spark, store, "t", seed, "k", newer_col="ts",
+               n_buckets=n_buckets)
 
-    merge_into(spark, store, "t", _skewed_updates(spark), "k", newer_col="ts")
+    merge_into(spark, store, "t", _skewed_updates(spark), "k", newer_col="ts",
+               n_buckets=n_buckets)
     got = store.read(spark, "t")
 
     # one row per key, no duplicates from the hot key
@@ -66,9 +70,52 @@ def test_merge_into_correct_under_skew(spark, tmp_path):
 
     # replaying the identical skewed batch is a no-op (idempotent MERGE)
     before = sorted(map(tuple, got.collect()))
-    merge_into(spark, store, "t", _skewed_updates(spark), "k", newer_col="ts")
+    merge_into(spark, store, "t", _skewed_updates(spark), "k", newer_col="ts",
+               n_buckets=n_buckets)
     after = sorted(map(tuple, store.read(spark, "t").collect()))
     assert before == after
+
+
+def test_partition_scoped_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100-TB MERGE promise made concrete: with n_buckets, the table is
+    maintained as pmod(xxhash64(key), N) bucket file-sets and a merge
+    touching keys of ONE bucket leaves every other bucket's files at their
+    exact paths — only buckets containing updated keys are rewritten."""
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.commit(epoch=-1, meta={"last_epoch": -1})
+    NB = 8
+
+    seed = spark.range(2000).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("ts"),
+        F.col("id").alias("payload"))
+    merge_into(spark, store, "t", seed, "k", newer_col="ts", n_buckets=NB)
+    map_before = store.snapshot().meta["merge_buckets"]["t"]
+    assert set(map_before) == {str(b) for b in range(NB)}  # 2000 keys span all
+
+    # updates confined to the bucket of key 1: pick keys sharing that bucket
+    b1 = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(NB)).cast("int").alias("b"))
+    target_bucket = b1.filter(F.col("k") == 1).collect()[0]["b"]
+    some_keys = [r["k"] for r in
+                 b1.filter(F.col("b") == target_bucket).limit(20).collect()]
+    updates = spark.createDataFrame([(int(k), 5, -1) for k in some_keys],
+                                    "k long, ts long, payload long")
+    merge_into(spark, store, "t", updates, "k", newer_col="ts", n_buckets=NB)
+
+    map_after = store.snapshot().meta["merge_buckets"]["t"]
+    for b in range(NB):
+        if b == target_bucket:
+            assert map_after[str(b)] != map_before[str(b)]   # rewritten
+        else:
+            assert map_after[str(b)] == map_before[str(b)]   # exact paths kept
+
+    # merged content is correct: updated keys carry ts=5/payload=-1
+    got = store.read(spark, "t")
+    assert got.count() == 2000
+    upd = got.filter(F.col("k").isin([int(k) for k in some_keys]))
+    assert upd.filter((F.col("ts") == 5) & (F.col("payload") == -1)).count() \
+        == len(some_keys)
 
 
 def test_merge_no_straggler_partition_after_dedup(spark):

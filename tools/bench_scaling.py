@@ -180,6 +180,62 @@ the per-FRAME interpreter loop dominated). Measure, don't guess.
 """
 
 
+def _ivf_recall_section() -> str:
+    """Optional section from tools/bench_ivf_recall.py — the nprobe
+    recall/cost curve (VERDICT r3 #5)."""
+    p = os.path.join(REPO, "IVF_RECALL.json")
+    if not os.path.exists(p):
+        return ""
+    with open(p) as fh:
+        m = json.load(fh)
+    rows = "\n".join(
+        f"| {c['nprobe']} | {c['recall_at_10']:.2f} | "
+        f"~{c['approx_fraction_scanned']:.0%} | {c['wall_s']} |"
+        for c in m["curve"])
+    return f"""
+## ann_ivf recall/cost curve (tools/bench_ivf_recall.py)
+
+Measured {m['ts']} at {m['sf_dir']} ({m['n_vectors']:,} vectors; exact
+ann_bruteforce baseline {m['bruteforce_wall_s']} s). nprobe is the
+operator's real API — the recall@10 / fraction-scanned tradeoff (monotone
+recall asserted in tests/test_ivf_recall.py):
+
+| nprobe | recall@10 | approx. fraction of lists scored | wall (s) |
+|---|---|---|---|
+{rows}
+"""
+
+
+def _bloom_section() -> str:
+    """Optional section from tools/bench_bloom.py — probe selectivity
+    before/after the fpp-triggered saturation rebuild (VERDICT r3 #1)."""
+    p = os.path.join(REPO, "BLOOM_BENCH.json")
+    if not os.path.exists(p):
+        return ""
+    with open(p) as fh:
+        m = json.load(fh)
+    return f"""
+## Bloom seen-filter saturation rebuild (tools/bench_bloom.py)
+
+Measured {m['ts']}: a bucket sized from its first epoch
+({m['m_bits_before']:,} bits) grown to {m['n_items']:,} items. Probe
+selectivity = fraction of {m['n_probe']:,} FRESH candidates routed to the
+exact anti-join (pure false-positive cost — at saturation the negative
+cache is worthless):
+
+| | FPP estimate | probe selectivity | bits |
+|---|---|---|---|
+| saturated (before rebuild) | {m['fpp_est_before']:.3f} | **{m['probe_selectivity_before']:.3f}** | {m['m_bits_before']:,} |
+| after fpp-triggered rebuild | {m['fpp_est_after']:.4f} | **{m['probe_selectivity_after']:.4f}** | {m['m_bits_after']:,} |
+
+The rebuild ({m['rebuild_wall_s']} s, one pass over ONLY the saturated
+bucket's seen rows) restores the design-point FPP; without it, at 10^10
+URLs every candidate would take the exact-anti-join slow path.
+FP-safety is structural — rebuilt arrays set bits for every seen hash
+(tests/test_bloom_rebuild.py).
+"""
+
+
 def write_bench_md(runs: list[dict]) -> None:
     best = max(runs, key=lambda r: r["scaling_efficiency"])
     lo, hi = best["n_exec_lo"], best["n_exec_hi"]
@@ -288,7 +344,7 @@ Reference single-node steady state (`BASELINE.md`): ~25 repos/sec
 Reproduce: `python tools/bench_scaling.py {best['n_urls']}` (appends to
 BENCH_RUNS.jsonl, regenerates this file from the best recorded attempt).
 Headline per-query timings at sf0.1: `python bench.py` (one JSON line).
-{_multimodal_section()}"""
+{_multimodal_section()}{_ivf_recall_section()}{_bloom_section()}"""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 
