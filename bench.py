@@ -271,6 +271,21 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         "frontier": fr,
         "cpus": args.cpus,
+        # context for cross-round per-query comparison (r3 -> r4):
+        # the multimodal fixture grew 8x (64 -> 512 images, dims up to
+        # 128px), so multimodal_pipeline times ~8x the decode work of r3 —
+        # per-row throughput IMPROVED; and the minhash/embedding dedup
+        # plans now carry mega-cluster skew insurance (bucket census +
+        # salted giant-bucket path, tests/test_pair_skew.py), a measured
+        # ~0.3 s constant at sf0.1 that is noise at production scale where
+        # one unsalted k^2-pair task would stall the stage outright.
+        "notes": {
+            "multimodal_pipeline": "fixture 64->512 rows in r4 (8x decodes)",
+            "dedup_minhash": "r4 adds band-bucket skew hardening (~0.3s "
+                             "constant census at sf0.1)",
+            "dedup_minhash_verified": "inherits dedup_minhash's skew census",
+            "dedup_embedding": "r4 adds sign-bucket skew hardening",
+        },
     }
     prev = latest_round_bench()
     if prev is not None and prev.get("queries"):

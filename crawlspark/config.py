@@ -44,6 +44,10 @@ class CrawlConfig:
     # (bloom.rebuild_buckets) — without it, at 10^10 URLs the negative cache
     # silently degrades to "exact anti-join for everything". None = off.
     bloom_fpp_rebuild: float | None = 0.05
+    # Floor size of a bucket's bit array (bits). Keeps tiny first batches
+    # from allocating degenerate arrays; also the saturation point scale for
+    # small deployments (fpp crosses the threshold near 0.16 x this).
+    bloom_min_bits: int = 1 << 13
     # Periodic table maintenance inside the crawl loop (0 = off): every
     # `compact_every` epochs, append-per-epoch tables are rewritten to
     # `compact_target_files` files and snapshots older than

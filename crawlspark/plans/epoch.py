@@ -341,7 +341,7 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
                         .unionByName(all_seen))
         flt_new = bloom_ops.updated_buckets(
             new_seen, seen_filter, cfg.n_filter_buckets, cfg.bloom_num_hashes,
-            cfg.bloom_bits_per_item, epoch,
+            cfg.bloom_bits_per_item, epoch, min_bits=cfg.bloom_min_bits,
             all_seen=all_seen, fpp_rebuild=cfg.bloom_fpp_rebuild)
         fltf = store.stage(flt_new, "seen_filter")
         if fltf:

@@ -120,3 +120,47 @@ def test_no_rebuild_below_threshold(spark):
     assert len(out) == 1
     assert len(out["bits"].iloc[0]) * 8 == MIN_BITS   # incremental, no resize
     assert int(out["n_items"].iloc[0]) == 100
+
+
+def test_rebuild_fires_inside_the_real_crawl_loop(spark, tmp_path):
+    """End-to-end: a crawl whose single seen-filter bucket outgrows its
+    bit-array floor must trigger the fpp rebuild INSIDE run_epoch's commit
+    path (cfg.bloom_fpp_rebuild + bloom_min_bits wiring), leaving a resized
+    filter whose n_items matches the url_seen table exactly — while the
+    crawl itself stays correct (unique terminal statuses, unique seen
+    rows). The 1024-bit floor puts the saturation point at ~164 items, well
+    inside what the SMALL fixture crawl reaches."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.plans.crawler import run_crawl
+    from tests.crawl_fixtures import SMALL, init_store, write_fixtures
+
+    cfg = CrawlConfig(batch_size=50, n_filter_buckets=1,
+                      bloom_bits_per_item=1, bloom_fpp_rebuild=0.05,
+                      bloom_min_bits=1 << 10)
+    fx = str(tmp_path / "fx")
+    pdfs = write_fixtures(fx, SMALL)
+    store = init_store(spark, fx, str(tmp_path / "store"))
+    images = spark.createDataFrame(pdfs["image_caption"])
+    run_crawl(spark, store, images, cfg, max_epochs=60)
+
+    seen = store.read(spark, "url_seen").toPandas()
+    assert seen["url_hash"].is_unique
+    n_seen = len(seen)
+    # enough distinct URLs crawled to push fpp(n, 1024, 4) past 0.05
+    assert n_seen > 200
+
+    flt = store.read(spark, "seen_filter").toPandas()
+    latest = flt.sort_values("epoch").iloc[-1]
+    m_bits = len(latest["bits"]) * 8
+    # only a rebuild can resize: the incremental path keeps the configured
+    # floor forever, so a larger array proves the rebuild fired in-loop
+    assert m_bits > cfg.bloom_min_bits
+    # the rebuilt filter tracks the seen set exactly (rebuild reads all_seen)
+    assert int(latest["n_items"]) == n_seen
+    assert bloom.fpp_estimate(n_seen, m_bits, cfg.bloom_num_hashes) \
+        < cfg.bloom_fpp_rebuild
+
+    log = store.read(spark, "crawl_log").toPandas()
+    terminal = log[log["status"].isin(
+        ["ok", "invalid_payload", "failed", "robots_denied"])]
+    assert terminal["url_hash"].is_unique

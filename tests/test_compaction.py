@@ -165,3 +165,18 @@ def test_binpack_compaction_leaves_large_files_untouched(spark, appended_store):
                  if os.path.getsize(os.path.join(store.root, f)) < big_size]
     assert store.compact(spark, "log", target_files=len(small_now),
                          small_file_bytes=big_size) == 0
+
+
+def test_vacuum_reclaims_crashed_stage_dirs(spark, appended_store):
+    """A crash during stage() BEFORE the rename loop leaves the whole
+    .stage-<hex> temp dir behind; vacuum must remove it (its files are by
+    definition unreferenced — paths are only recorded after rename)."""
+    store = appended_store
+    crashed = os.path.join(store.root, "log", ".stage-deadbeef")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-0.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    deleted = store.vacuum(keep_last=len(store.commits()))
+    assert "log/.stage-deadbeef" in deleted
+    assert not os.path.exists(crashed)
+    assert store.read(spark, "log").count() == 500   # live table intact
