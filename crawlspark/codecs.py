@@ -56,9 +56,29 @@ _NOUNS = (
 )
 
 
+# 4096-entry quantized sine table (values are exact multiples of 2^-15).
+# np.sin/np.cos are NOT bit-reproducible across numpy/libm/SIMD variants; a
+# table lookup keyed by floor(angle * N/2pi) uses only IEEE-exact arithmetic
+# (+,*,floor), so the same seed yields the same pixels on every machine.
+# Boundary safety: no scaled table entry sits within 1e-6 of a .5 rounding
+# boundary (checked in tests/test_codecs.py), so the table itself is also
+# environment-independent.
+_SINE_N = 1 << 12
+_SINE_TABLE = (np.rint(np.sin(np.arange(_SINE_N) * (2.0 * np.pi / _SINE_N))
+                       * 32768.0) / 32768.0)
+
+
+def sin_table(angle: np.ndarray) -> np.ndarray:
+    """Deterministic sine: quantized table lookup (see _SINE_TABLE note)."""
+    idx = np.floor(np.asarray(angle, dtype=np.float64)
+                   * (_SINE_N / (2.0 * np.pi))).astype(np.int64) % _SINE_N
+    return _SINE_TABLE[idx]
+
+
 def make_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Deterministic procedural RGB image (h, w, 3) uint8: smooth gradient +
-    sinusoid + seeded noise."""
+    sinusoid + seeded noise. Integer/IEEE-exact-only arithmetic so committed
+    fixtures regenerate bit-identically on any machine."""
     seed = stable_seed(image_id)
     rng = np.random.RandomState(seed)
     yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
@@ -68,7 +88,7 @@ def make_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     out = np.empty((h, w, 3), dtype=np.float64)
     for c in range(3):
         grad = (xx / max(w - 1, 1)) * 96.0 + (yy / max(h - 1, 1)) * 96.0
-        wave = 48.0 * np.sin(freq[c] * (xx + yy) + phase[c])
+        wave = 48.0 * sin_table(freq[c] * (xx + yy) + phase[c])
         out[..., c] = 32.0 + grad + wave
     noise = rng.randint(-8, 9, size=(h, w, 3)).astype(np.float64)
     return np.clip(out + noise, 0, 255).astype(np.uint8)
@@ -148,6 +168,27 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT8 = _dct_matrix(_BLOCK)
 _DCT32 = _dct_matrix(32)
 
+# Fixed-point DCT bases. The float matmul path (BLAS) is NOT bit-reproducible
+# across environments — different kernels/FMA orders shift results by ulps,
+# and a `rint` sitting on a .5 boundary then flips a quantized coefficient,
+# so the same seed produced different committed-fixture bytes on different
+# machines (caught by test_staged_fixtures_deterministic round 4). Integer
+# matmuls are exact, making encode/decode/phash bit-identical everywhere.
+# Scale choice bounds the int64 intermediates: 8x8 path peaks ~2^53,
+# 32x32 phash path ~2^58 (see _phash_fx), both < 2^63.
+_FX8_SHIFT = 16
+_FX32_SHIFT = 14
+_DCT8_FX = np.rint(_DCT8 * (1 << _FX8_SHIFT)).astype(np.int64)
+_DCT32_FX = np.rint(_DCT32 * (1 << _FX32_SHIFT)).astype(np.int64)
+
+
+def _div_round_half_away(num: np.ndarray, denom: int) -> np.ndarray:
+    """Exact integer divide with round-half-away-from-zero (symmetric, no
+    float in the loop — the deterministic replacement for np.rint)."""
+    half = denom // 2
+    return np.where(num >= 0, (num + half) // denom,
+                    -((-num + half) // denom))
+
 
 def _blockify(chan: np.ndarray) -> np.ndarray:
     """(h, w) -> (nblocks, 8, 8); h and w must be multiples of 8."""
@@ -168,24 +209,30 @@ def _encode_qdct(px: np.ndarray) -> bytes:
     coefficients. Requires w and h to be multiples of 8 (guaranteed by the
     generator: sizes in {16, 32, 64})."""
     h, w, _ = px.shape
+    # forward transform in fixed point: blocks are exact int64, the two
+    # integer matmuls carry scale 2^(2*_FX8_SHIFT); quantization folds the
+    # scale into the divisor (QDCT_STEP is integral), all exact.
+    denom = int(QDCT_STEP) << (2 * _FX8_SHIFT)
     chans = []
     for c in range(3):
-        blocks = _blockify(px[..., c].astype(np.float64) - 128.0)
-        coefs = _DCT8 @ blocks @ _DCT8.T
-        q = np.rint(coefs / QDCT_STEP).astype(np.int16)
+        blocks = _blockify(px[..., c].astype(np.int64) - 128)
+        coefs = _DCT8_FX @ blocks @ _DCT8_FX.T
+        q = _div_round_half_away(coefs, denom).astype(np.int16)
         chans.append(q.ravel())
     return np.concatenate(chans).astype("<i2").tobytes()
 
 
 def _decode_qdct(buf: bytes, w: int, h: int) -> np.ndarray:
-    arr = np.frombuffer(buf, dtype="<i2").astype(np.float64) * QDCT_STEP
+    arr = np.frombuffer(buf, dtype="<i2").astype(np.int64) * int(QDCT_STEP)
     per_chan = (h * w)
-    out = np.empty((h, w, 3), dtype=np.float64)
+    denom = 1 << (2 * _FX8_SHIFT)
+    out = np.empty((h, w, 3), dtype=np.int64)
     for c in range(3):
         coefs = arr[c * per_chan:(c + 1) * per_chan].reshape(-1, _BLOCK, _BLOCK)
-        blocks = _DCT8.T @ coefs @ _DCT8
-        out[..., c] = _unblockify(blocks, w, h) + 128.0
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        blocks = _DCT8_FX.T @ coefs @ _DCT8_FX
+        out[..., c] = _unblockify(_div_round_half_away(blocks, denom),
+                                  w, h) + 128
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def encode_image(px: np.ndarray, fmt: str) -> bytes:
@@ -218,8 +265,10 @@ def is_lossless(fmt: str) -> bool:
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
-    diff = a.astype(np.float64) - b.astype(np.float64)
-    mse = float(np.mean(diff * diff))
+    # exact integer sum-of-squares (a float .mean() reduction's pairwise
+    # blocking varies with SIMD width across environments)
+    diff = a.astype(np.int64) - b.astype(np.int64)
+    mse = float(np.sum(diff * diff)) / diff.size
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
@@ -230,21 +279,29 @@ def phash64(px: np.ndarray) -> int:
     orthonormal 2-D DCT -> top-left 8x8 coefficients -> sign vs. the median of
     the 63 AC coefficients (DC bit compared against the same median).
     Returned as a signed int64 (two's complement)."""
-    gray = (0.299 * px[..., 0].astype(np.float64)
-            + 0.587 * px[..., 1].astype(np.float64)
-            + 0.114 * px[..., 2].astype(np.float64))
+    # Integer end to end (same cross-environment reproducibility argument as
+    # the qdct codec): luminance at x1000, area resize kept as an exact SUM
+    # (uniform per-image scale factor — sign-vs-median is scale-invariant),
+    # fixed-point DCT, integer median of 63 ints. Peak magnitude: gray <=
+    # 255*1000*(fh*fw) ~ 2^24 at 128x128; two 32-term matmuls at 2^14 scale
+    # add 2*(14+5) bits -> ~2^62 worst case, within int64.
+    gray = (299 * px[..., 0].astype(np.int64)
+            + 587 * px[..., 1].astype(np.int64)
+            + 114 * px[..., 2].astype(np.int64))
     h, w = gray.shape
     if (h, w) != (32, 32):
         if h % 32 == 0 and w % 32 == 0:
             fh, fw = h // 32, w // 32
-            gray = gray.reshape(32, fh, 32, fw).mean(axis=(1, 3))
+            gray = gray.reshape(32, fh, 32, fw).sum(axis=(1, 3))
         else:
             yi = (np.arange(32) * h) // 32
             xi = (np.arange(32) * w) // 32
             gray = gray[np.ix_(yi, xi)]
-    coefs = _DCT32 @ gray @ _DCT32.T
+    coefs = _DCT32_FX @ gray @ _DCT32_FX.T
     block = coefs[:8, :8].ravel()
-    med = float(np.median(block[1:]))
+    med = int(np.sort(block[1:])[31])    # 63 values -> the exact middle one
+    # (np.partition-free for clarity; int64 throughout — np.median would
+    # round-trip through float64 and lose exactness past 2^53)
     bits = block > med
     val = 0
     for i in range(64):

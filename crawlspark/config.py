@@ -48,6 +48,20 @@ class CrawlConfig:
     # from allocating degenerate arrays; also the saturation point scale for
     # small deployments (fpp crosses the threshold near 0.16 x this).
     bloom_min_bits: int = 1 << 13
+    # Negative-cache backend: "bloom" (10 bits/item, ~1.2% FPP, no deletes)
+    # or "cuckoo" (16-bit fingerprints x 4 slots, ~0.012% FPP, O(1)/item
+    # deletion -> recrawl/forget without a bucket rebuild). Both share the
+    # two-phase probe->exact-verify contract, so the crawl SEMANTICS
+    # (ordering, final seen set) are backend-invariant — asserted by
+    # tests/test_cuckoo.py's loop-parity test. use_bloom=False disables the
+    # negative cache entirely (every candidate takes the exact anti-join).
+    seen_filter_backend: str = "bloom"
+    cuckoo_slots_per_row: int = 4
+    cuckoo_min_rows: int = 1 << 9
+    # Rebuild a cuckoo bucket from the full seen set when its post-insert
+    # load factor would cross this (4-slot cuckoo degrades past ~0.95; 0.85
+    # leaves kick headroom) — the analog of bloom_fpp_rebuild. None = off.
+    cuckoo_load_rebuild: float | None = 0.85
     # Periodic table maintenance inside the crawl loop (0 = off): every
     # `compact_every` epochs, append-per-epoch tables are rewritten to
     # `compact_target_files` files and snapshots older than

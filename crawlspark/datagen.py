@@ -99,17 +99,27 @@ IMAGE_FIXTURE_PATH = os.path.join(
     "fixtures", "images_512.parquet")
 
 
+def _lum_x1000(px: np.ndarray) -> np.ndarray:
+    """Integer luminance at x1000 (299/587/114 weights). Exact int64 — a
+    float elementwise lum is deterministic, but any float REDUCTION over it
+    (.mean()) is not reproducible across SIMD widths; keeping the scale
+    integral lets every consumer reduce exactly."""
+    return (299 * px[..., 0].astype(np.int64)
+            + 587 * px[..., 1].astype(np.int64)
+            + 114 * px[..., 2].astype(np.int64))
+
+
 def _mean_lum_x100(px: np.ndarray) -> int:
-    return int((0.299 * px[..., 0] + 0.587 * px[..., 1]
-                + 0.114 * px[..., 2]).mean() * 100)
+    # == int(mean(lum) * 100) with exact integer arithmetic
+    npix = px.shape[0] * px.shape[1]
+    return int(_lum_x1000(px).sum() // (10 * npix))
 
 
 def _lum_hist4(px: np.ndarray) -> list[int]:
     """4-bin luminance histogram (bins 0-63/64-127/128-191/192-255) — the
     deterministic image feature-extract used by textops.multimodal_pipeline
     and precomputed here as the oracle's expected values."""
-    lum = (0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2])
-    idx = np.clip(lum, 0, 255).astype(np.int64) // 64
+    idx = np.minimum(_lum_x1000(px) // 1000, 255) // 64
     return [int((idx == b).sum()) for b in range(4)]
 
 
@@ -169,7 +179,10 @@ def make_pcm(audio_id: str, n_samples: int, rate: int) -> np.ndarray:
     t = np.arange(n_samples, dtype=np.float64) / rate
     f1, f2 = rng.uniform(80, 800, size=2)
     amp = rng.uniform(0.2, 0.7)
-    x = amp * np.sin(2 * np.pi * f1 * t) + 0.3 * amp * np.sin(2 * np.pi * f2 * t)
+    # codecs.sin_table, not np.sin: libm sine is not bit-reproducible
+    # across environments (same fix as make_pixels)
+    x = (amp * codecs.sin_table(2 * np.pi * f1 * t)
+         + 0.3 * amp * codecs.sin_table(2 * np.pi * f2 * t))
     x = x + rng.uniform(-0.01, 0.01, size=n_samples)
     return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
 
@@ -191,13 +204,15 @@ def ensure_audio_fixture(path: str = AUDIO_FIXTURE_PATH, n: int = 256) -> str:
         rate = int(rng.choice([8000, 16000, 24000]))
         n_samples = int(rng.choice([4000, 8000, 12000, 16000, 24000]))
         pcm = make_pcm(audio_id, n_samples, rate)
-        xf = pcm.astype(np.float64)
+        xi = pcm.astype(np.int64)
+        # exact integer sum-of-squares; sqrt/div are IEEE-exact-rounded so
+        # the staged expecteds regenerate identically on any machine
         rows.append({
             "audio_id": audio_id, "pcm": pcm.tobytes(),
             "sample_rate": rate, "n_samples": n_samples,
             "duration_ms": n_samples * 1000 // rate,
-            "rms_x10": int(np.sqrt((xf * xf).mean()) * 10),
-            "peak": int(np.abs(xf).max()),
+            "rms_x10": int(np.sqrt(float((xi * xi).sum()) / n_samples) * 10),
+            "peak": int(np.abs(xi).max()),
         })
     pdf = pd.DataFrame(rows)
     schema = pa.schema([
@@ -235,13 +250,13 @@ def ensure_video_fixture(path: str = VIDEO_FIXTURE_PATH, n: int = 64) -> str:
         frames = [codecs.make_pixels(f"{video_id}/f{k}", w, h)
                   for k in range(n_frames)]
         sampled = frames[::stride]
-        lum = float(np.mean([_mean_lum_x100(f) for f in sampled]))
+        per_frame = [_mean_lum_x100(f) for f in sampled]
         rows.append({
             "video_id": video_id,
             "frames": b"".join(f.tobytes() for f in frames),
             "n_frames": n_frames, "w": w, "h": h,
             "n_sampled": len(sampled),
-            "mean_lum_sampled_x100": int(lum),
+            "mean_lum_sampled_x100": int(sum(per_frame) // len(per_frame)),
         })
     pdf = pd.DataFrame(rows)
     schema = pa.schema([

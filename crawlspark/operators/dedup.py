@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from . import bloom as bloom_ops
+from . import cuckoo as cuckoo_ops
 
 def supersede_order():
     return [F.desc("attempt"), F.desc("not_before_epoch"),
@@ -72,8 +73,13 @@ def not_seen(candidates: DataFrame, url_seen: DataFrame | None,
     if url_seen is None:
         return candidates
     if cfg.use_bloom and seen_filter is not None:
-        probed = bloom_ops.probe(candidates, seen_filter,
-                                 cfg.n_filter_buckets, cfg.bloom_num_hashes)
+        if cfg.seen_filter_backend == "cuckoo":
+            probed = cuckoo_ops.probe(candidates, seen_filter,
+                                      cfg.n_filter_buckets,
+                                      cfg.cuckoo_slots_per_row)
+        else:
+            probed = bloom_ops.probe(candidates, seen_filter,
+                                     cfg.n_filter_buckets, cfg.bloom_num_hashes)
         fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
         checked = maybe.join(url_seen.select("url_hash"), "url_hash", "left_anti")

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig, choose_prefix
 from ..operators import bloom as bloom_ops
+from ..operators import cuckoo as cuckoo_ops
 from ..operators import dedup, politeness
 from ..operators.validate import (OUTCOME_DEFERRED, OUTCOME_FETCHED,
                                   OUTCOME_RETRY, fetch_and_validate,
@@ -339,10 +340,16 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
         if url_seen is not None:
             all_seen = (url_seen.select("url_hash", "host_hash")
                         .unionByName(all_seen))
-        flt_new = bloom_ops.updated_buckets(
-            new_seen, seen_filter, cfg.n_filter_buckets, cfg.bloom_num_hashes,
-            cfg.bloom_bits_per_item, epoch, min_bits=cfg.bloom_min_bits,
-            all_seen=all_seen, fpp_rebuild=cfg.bloom_fpp_rebuild)
+        if cfg.seen_filter_backend == "cuckoo":
+            flt_new = cuckoo_ops.updated_buckets(
+                new_seen, seen_filter, cfg.n_filter_buckets,
+                cfg.cuckoo_slots_per_row, epoch, min_rows=cfg.cuckoo_min_rows,
+                all_seen=all_seen, load_rebuild=cfg.cuckoo_load_rebuild)
+        else:
+            flt_new = bloom_ops.updated_buckets(
+                new_seen, seen_filter, cfg.n_filter_buckets, cfg.bloom_num_hashes,
+                cfg.bloom_bits_per_item, epoch, min_bits=cfg.bloom_min_bits,
+                all_seen=all_seen, fpp_rebuild=cfg.bloom_fpp_rebuild)
         fltf = store.stage(flt_new, "seen_filter")
         if fltf:
             appends["seen_filter"] = fltf

@@ -236,6 +236,32 @@ FP-safety is structural — rebuilt arrays set bits for every seen hash
 """
 
 
+def _cuckoo_section() -> str:
+    """Optional section from tools/bench_cuckoo.py — the bloom-vs-cuckoo
+    backend trade (memory / FPP / throughput / forget cost)."""
+    p = os.path.join(REPO, "CUCKOO_BENCH.json")
+    if not os.path.exists(p):
+        return ""
+    with open(p) as fh:
+        m = json.load(fh)
+    bl, ck = m["bloom"], m["cuckoo"]
+    return f"""
+## Seen-filter backends: bloom vs cuckoo (tools/bench_cuckoo.py)
+
+Measured {m['ts']} at {m['n_items']:,} items / {m['n_probe']:,} fresh
+probes (numpy cores — the same kernels the cogroup UDFs run per bucket).
+`seen_filter_backend` picks the trade; crawl SEMANTICS are backend-
+invariant (loop-parity tests in tests/test_cuckoo.py). "Forget" = remove
+{m['n_forgotten']:,} items (1%) for recrawl/TTL — the operation that
+motivates cuckoo (bloom's shared bits force a bucket rebuild):
+
+| | bits/item | FPP measured | insert M/s | probe M/s | forget 1% (s) |
+|---|---|---|---|---|---|
+| bloom (10 b/item, k=4) | {bl['bits_per_item']} | {bl['fpp_measured']:.4f} | {bl['insert_mitems_s']} | {bl['probe_mitems_s']} | {bl['forget_wall_s']} ({bl['forget_cost']}) |
+| cuckoo (16-bit fp ×4 slots) | {ck['bits_per_item']} | {ck['fpp_measured']:.5f} | {ck['insert_mitems_s']} | {ck['probe_mitems_s']} | {ck['forget_wall_s']} ({ck['forget_cost']}) |
+"""
+
+
 def write_bench_md(runs: list[dict]) -> None:
     best = max(runs, key=lambda r: r["scaling_efficiency"])
     lo, hi = best["n_exec_lo"], best["n_exec_hi"]
@@ -358,7 +384,7 @@ Reference single-node steady state (`BASELINE.md`): ~25 repos/sec
 Reproduce: `python tools/bench_scaling.py {best['n_urls']}` (appends to
 BENCH_RUNS.jsonl, regenerates this file from the best recorded attempt).
 Headline per-query timings at sf0.1: `python bench.py` (one JSON line).
-{_multimodal_section()}{_ivf_recall_section()}{_bloom_section()}"""
+{_multimodal_section()}{_ivf_recall_section()}{_bloom_section()}{_cuckoo_section()}"""
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 
