@@ -92,7 +92,10 @@ def cmd_crawl(args) -> int:
     store = SnapshotStore(args.store)
     images = spark.read.parquet(args.images)
     cfg = CrawlConfig(batch_size=args.batch_size,
-                      compact_every=getattr(args, "compact_every", 0))
+                      compact_every=getattr(args, "compact_every", 0),
+                      recrawl_every=getattr(args, "recrawl_every", 0),
+                      recrawl_ttl_epochs=getattr(args, "recrawl_ttl", 20),
+                      recrawl_topk=getattr(args, "recrawl_topk", 1000))
     fallback = (spark.read.parquet(args.fallback)
                 if args.fallback else None)
     results = run_crawl(spark, store, images, cfg,
@@ -279,6 +282,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="terminal-result target gating the fallback fold-in")
     p.add_argument("--compact-every", type=int, default=0,
                    help="compact+vacuum the store every N epochs (0 = off)")
+    p.add_argument("--recrawl-every", type=int, default=0,
+                   help="TTL refresh: forget the staleist crawled URLs "
+                        "every N epochs so the loop re-fetches them (0 = off)")
+    p.add_argument("--recrawl-ttl", type=int, default=20,
+                   help="minimum age (epochs since last terminal crawl) "
+                        "before a URL is recrawl-eligible")
+    p.add_argument("--recrawl-topk", type=int, default=1000,
+                   help="max URLs forgotten per recrawl pass")
     p.set_defaults(fn=cmd_crawl)
 
     p = sub.add_parser("export", help="export a table")

@@ -62,6 +62,14 @@ class CrawlConfig:
     # load factor would cross this (4-slot cuckoo degrades past ~0.95; 0.85
     # leaves kick headroom) — the analog of bloom_fpp_rebuild. None = off.
     cuckoo_load_rebuild: float | None = 0.85
+    # TTL recrawl (0 = off): every `recrawl_every` epochs, forget the
+    # oldest-terminally-crawled URLs whose last crawl is >= recrawl_ttl_epochs
+    # old (up to recrawl_topk per pass) so the normal epoch loop re-admits
+    # them — the action side of the S6 stale-rows scan (the reference's
+    # get_repositories_for_update refresh flow).
+    recrawl_every: int = 0
+    recrawl_ttl_epochs: int = 20
+    recrawl_topk: int = 1000
     # Periodic table maintenance inside the crawl loop (0 = off): every
     # `compact_every` epochs, append-per-epoch tables are rewritten to
     # `compact_target_files` files and snapshots older than

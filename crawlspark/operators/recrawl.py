@@ -33,13 +33,18 @@ from ..config import CrawlConfig
 from ..tables import SnapshotStore
 from . import bloom as bloom_ops
 from . import cuckoo as cuckoo_ops
+from . import dedup
 
 
 def forget_urls(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
-                targets: DataFrame, epoch: int) -> int:
+                targets: DataFrame, epoch: int,
+                meta_extra: dict | None = None) -> int:
     """Remove ``targets`` (needs ``url_hash``; ``host_hash`` joined in from
     url_seen if absent) from the seen set + negative cache atomically.
-    Returns the number of url_seen rows removed."""
+    ``meta_extra`` rides the same commit (recrawl_pass uses it to bump
+    ``remaining_by_priority`` atomically with the forget — a crash can never
+    leave counters and seen set disagreeing). Returns the number of
+    url_seen rows removed."""
     url_seen = store.read(spark, "url_seen")
     if url_seen is None:
         return 0
@@ -76,7 +81,78 @@ def forget_urls(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
 
     store.commit(epoch, appends=appends, replaces=replaces, meta={
         **snap.meta,
+        **(meta_extra or {}),
         "last_forget": {"epoch": epoch, "n_forgotten": n_forgotten},
     })
     hit.unpersist()
     return n_forgotten
+
+
+_TERMINAL_OK = ("ok", "invalid_payload")
+
+
+def stale_targets(spark: SparkSession, store: SnapshotStore,
+                  cfg: CrawlConfig, epoch: int) -> DataFrame | None:
+    """Oldest-first top-k URLs whose LAST terminal crawl is at least
+    ``recrawl_ttl_epochs`` epochs old — the action-side twin of the S6
+    stale-rows scan (ref: ``get_repositories_for_update`` orders by
+    ``last_crawled_at`` ASC with a LIMIT,
+    /root/reference/src/infrastructure/database.py). A max-per-key
+    aggregate (map-side partial) + TakeOrderedAndProject — no global sort
+    of the log at scale."""
+    log = store.read(spark, "crawl_log")
+    url_seen = store.read(spark, "url_seen")
+    if log is None or url_seen is None:
+        return None
+    last = (log.filter(F.col("status").isin(*_TERMINAL_OK))
+            .groupBy("url_hash")
+            .agg(F.max("epoch").alias("last_crawl_epoch")))
+    stale = last.filter(
+        F.col("last_crawl_epoch") <= F.lit(epoch - cfg.recrawl_ttl_epochs))
+    # only currently-seen URLs: a URL forgotten by an earlier pass but not
+    # yet re-crawled still has its old terminal log row — selecting it again
+    # would double-bump the remaining counters for a single frontier row
+    stale = stale.join(url_seen.select("url_hash"), "url_hash", "left_semi")
+    # deterministic oldest-first top-k (url_hash tie-break, same discipline
+    # as the frontier's ordering keys)
+    return (stale.orderBy(F.asc("last_crawl_epoch"), F.asc("url_hash"))
+            .limit(cfg.recrawl_topk).select("url_hash"))
+
+
+def recrawl_pass(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
+                 epoch: int) -> int:
+    """TTL refresh: forget the staleist terminally-crawled URLs so the
+    normal epoch loop re-admits them through the standard pop -> dedup ->
+    politeness -> validate path (frontier rows persist in the store; the
+    seen anti-join is what excludes them, so forgetting IS re-enqueueing).
+    Bumps ``remaining_by_priority`` for the targets' strata in the SAME
+    atomic commit, keeping choose_prefix's pruning rule and the termination
+    counters consistent. Returns the number of URLs re-admitted."""
+    targets = stale_targets(spark, store, cfg, epoch)
+    if targets is None:
+        return 0
+    frontier = store.read(spark, "frontier")
+    meta_extra = None
+    if frontier is not None:
+        # ONE bump per url_hash, at its supersede-winner row's stratum —
+        # mirroring the epoch's `consumed` decrement, which counts the one
+        # admitted winner, never the duplicate frontier copies (epoch.py
+        # "remaining decrement"); counting raw semi-join rows here would
+        # inflate remaining by the ~duplicate rate on every recrawl cycle
+        winners = dedup.supersede(
+            frontier.select("url_hash", "priority", "seq", "attempt",
+                            "not_before_epoch")
+            .join(targets, "url_hash", "left_semi"))
+        per_p = {int(r["priority"]): int(r["n"]) for r in
+                 winners.groupBy("priority")
+                 .agg(F.count("*").alias("n")).collect()}
+        if per_p:
+            remaining = {int(k): int(v) for k, v in
+                         store.snapshot().meta.get(
+                             "remaining_by_priority", {}).items()}
+            for p, n in per_p.items():
+                remaining[p] = remaining.get(p, 0) + n
+            meta_extra = {"remaining_by_priority":
+                          {str(k): v for k, v in remaining.items()}}
+    return forget_urls(spark, store, cfg, targets, epoch,
+                       meta_extra=meta_extra)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
 from ..operators.dedup import robots_flag
+from ..operators.recrawl import recrawl_pass
 from ..tables import SnapshotStore
 from .epoch import EpochResult, record_failed_epoch, run_epoch
 
@@ -135,7 +136,15 @@ def run_crawl(spark: SparkSession, store: SnapshotStore, images: DataFrame,
     When ``cfg.compact_every`` > 0, every that-many epochs the append-heavy
     tables are compacted and old snapshots vacuumed (the loop is the single
     writer, so between-epoch maintenance is race-free); a 10^5-epoch crawl
-    keeps O(target_files) files per table instead of O(epochs)."""
+    keeps O(target_files) files per table instead of O(epochs).
+
+    When ``cfg.recrawl_every`` > 0, every that-many epochs a TTL recrawl
+    pass (operators/recrawl.recrawl_pass) forgets the oldest
+    terminally-crawled URLs past ``recrawl_ttl_epochs`` so the loop
+    re-fetches them — a refresh crawl. Re-admissions count as progress, so
+    a refresh crawl runs until ``max_epochs`` rather than terminating on a
+    drained frontier (the reference's update loop likewise never
+    self-terminates, use_cases.py run_update_crawl)."""
     snap = store.snapshot()
     if snap.commit_id < 0:
         raise RuntimeError("store not initialized; call init_run first")
@@ -159,8 +168,11 @@ def run_crawl(spark: SparkSession, store: SnapshotStore, images: DataFrame,
         results.append(res)
         if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
             maintain_store(spark, store, cfg)
+        n_readmitted = 0
+        if cfg.recrawl_every and (epoch + 1) % cfg.recrawl_every == 0:
+            n_readmitted = recrawl_pass(spark, store, cfg, epoch)
         total_terminal += res.n_terminal
-        progressed = (res.n_admitted + res.n_denied) > 0
+        progressed = (res.n_admitted + res.n_denied + n_readmitted) > 0
         empty_streak = 0 if progressed else empty_streak + 1
         if empty_streak >= stop_after_empty:
             if (fallback is not None and not fallback_added

@@ -38,6 +38,14 @@ def get_spark(tuning: SparkTuning | None = None) -> SparkSession:
     # beyond that fails with no-space errors.
     if t.master.startswith("local") and os.path.isdir("/dev/shm"):
         b = b.config("spark.local.dir", "/dev/shm/spark-local")
+        # local-cluster mode: standalone workers IGNORE spark.local.dir and
+        # read SPARK_LOCAL_DIRS from their environment (Spark warns exactly
+        # this). The in-process LocalSparkCluster's workers inherit the
+        # driver JVM's env, so exporting here is what actually moves
+        # executor shuffle files onto tmpfs — measured 3.5x on a 50M-row
+        # shuffle agg ([4,2] exec: 106s on default /tmp dirs vs 30s on shm).
+        if t.master.startswith("local-cluster"):
+            os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
     for k, v in t.extra.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

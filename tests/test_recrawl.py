@@ -1,0 +1,123 @@
+"""TTL recrawl: the action side of the S6 stale-rows scan.
+
+The reference refreshes stale rows by popping ids from
+``get_repositories_for_update`` (ordered by last_crawled_at ASC, LIMIT k)
+and re-fetching them through the normal pipeline
+(/root/reference/src/infrastructure/database.py,
+src/application/use_cases.py). Here the same semantics are a *forget*:
+frontier rows persist in the store and the epoch pop excludes them only via
+the url_seen anti-join, so removing a URL from url_seen (+ the negative
+cache) IS re-enqueueing it — the re-fetch then flows through the standard
+pop -> dedup -> politeness -> validate path with all its ordering and
+budget rules intact. ``remaining_by_priority`` is bumped in the same
+atomic commit, so choose_prefix's stratum pruning stays consistent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.config import CrawlConfig
+from crawlspark.operators import recrawl
+from crawlspark.plans.crawler import run_crawl
+from tests.crawl_fixtures import SMALL, init_store, write_fixtures
+
+TERMINAL = ("ok", "invalid_payload")
+
+
+@pytest.fixture(scope="module")
+def drained(spark, tmp_path_factory):
+    """A crawl run to frontier exhaustion (the recrawl starting point)."""
+    cfg = CrawlConfig(batch_size=50, n_filter_buckets=8)
+    tmp = tmp_path_factory.mktemp("fx_recrawl")
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp), str(tmp_path_factory.mktemp("st_recrawl")))
+    images = spark.read.parquet(str(tmp / "image_caption.parquet"))
+    run_crawl(spark, store, images, cfg, max_epochs=60)
+    return dict(store=store, images=images, cfg=cfg)
+
+
+def _last_terminal(spark, store):
+    log = store.read(spark, "crawl_log")
+    return (log.filter(F.col("status").isin(*TERMINAL))
+            .groupBy("url_hash").agg(F.max("epoch").alias("e")))
+
+
+def test_stale_targets_oldest_first_topk(drained, spark):
+    store, cfg0 = drained["store"], drained["cfg"]
+    last_epoch = int(store.snapshot().meta["last_epoch"])
+    cfg = CrawlConfig(**{**cfg0.__dict__, "recrawl_ttl_epochs": 0,
+                         "recrawl_topk": 10})
+    targets = recrawl.stale_targets(spark, store, cfg, last_epoch).toPandas()
+    assert len(targets) == 10
+    # oldest-first: every target's last terminal epoch <= every non-target's
+    last = _last_terminal(spark, store).toPandas().set_index("url_hash")["e"]
+    tgt = set(targets["url_hash"])
+    max_tgt = max(last[h] for h in tgt)
+    min_rest = min(e for h, e in last.items() if h not in tgt)
+    assert max_tgt <= min_rest
+    # ttl excludes recent crawls
+    cfg_hi = CrawlConfig(**{**cfg0.__dict__, "recrawl_ttl_epochs": 10_000,
+                            "recrawl_topk": 10})
+    assert recrawl.stale_targets(spark, store, cfg_hi, last_epoch).count() == 0
+
+
+def test_recrawl_pass_bumps_remaining_and_is_idempotent(drained, spark):
+    store, cfg0 = drained["store"], drained["cfg"]
+    last_epoch = int(store.snapshot().meta["last_epoch"])
+    n_seen0 = store.read(spark, "url_seen").count()
+    rem0 = {int(k): int(v) for k, v in
+            store.snapshot().meta["remaining_by_priority"].items()}
+    cfg = CrawlConfig(**{**cfg0.__dict__, "recrawl_ttl_epochs": 0,
+                         "recrawl_topk": 25})
+    n = recrawl.recrawl_pass(spark, store, cfg, last_epoch)
+    assert n == 25
+    assert store.read(spark, "url_seen").count() == n_seen0 - 25
+    rem1 = {int(k): int(v) for k, v in
+            store.snapshot().meta["remaining_by_priority"].items()}
+    assert sum(rem1.values()) == sum(rem0.values()) + 25
+    # a second pass at the same epoch must NOT re-select the already-
+    # forgotten urls (their stale log rows persist): it picks the next-
+    # oldest 25 still-seen urls, never double-bumping for one frontier row
+    n2 = recrawl.recrawl_pass(spark, store, cfg, last_epoch)
+    assert n2 == 25
+    assert store.read(spark, "url_seen").count() == n_seen0 - 50
+    rem2 = {int(k): int(v) for k, v in
+            store.snapshot().meta["remaining_by_priority"].items()}
+    assert sum(rem2.values()) == sum(rem0.values()) + 50
+
+
+def test_refresh_crawl_refetches_forgotten(drained, spark):
+    """Continuing the loop with recrawl_every set re-fetches the forgotten
+    URLs through the standard path: new terminal log rows at later epochs,
+    url_seen restored, and the refresh keeps the loop alive (re-admissions
+    count as progress)."""
+    store, images, cfg0 = drained["store"], drained["images"], drained["cfg"]
+    # state after the two passes above: 50 urls forgotten
+    n_seen_before = store.read(spark, "url_seen").count()
+    last = _last_terminal(spark, store)
+    seen_now = store.read(spark, "url_seen").select("url_hash")
+    forgotten = last.join(seen_now, "url_hash", "left_anti")
+    n_forgotten = forgotten.count()
+    assert n_forgotten == 50
+    epoch_before = int(store.snapshot().meta["last_epoch"])
+
+    cfg = CrawlConfig(**{**cfg0.__dict__, "recrawl_every": 3,
+                         "recrawl_ttl_epochs": 10_000,  # no NEW forgets
+                         "recrawl_topk": 25})
+    run_crawl(spark, store, images, cfg, max_epochs=40)
+
+    log = store.read(spark, "crawl_log")
+    refetched = (log.filter(F.col("status").isin(*TERMINAL))
+                 .filter(F.col("epoch") > epoch_before)
+                 .join(forgotten.select("url_hash"), "url_hash", "left_semi"))
+    n_refetched = refetched.select("url_hash").distinct().count()
+    assert n_refetched == n_forgotten            # every forgotten url refreshed
+    assert store.read(spark, "url_seen").count() == n_seen_before + n_forgotten
+    # remaining counters drained back down by exactly the re-admissions
+    # (every terminal refetch decrements the stratum it was re-counted into)
+    seen_hashes = {r["url_hash"] for r in
+                   store.read(spark, "url_seen").select("url_hash").collect()}
+    assert {r["url_hash"] for r in last.select("url_hash").collect()
+            } <= seen_hashes

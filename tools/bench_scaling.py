@@ -91,12 +91,22 @@ def mem_bw_gbps(n_procs: int, secs: float = 12.0) -> float:
     return iters * 128 / 1024 / secs
 
 
-def run(n_exec: int, n_urls: int) -> dict:
+def run(n_exec: int, n_urls: int, retries: int = 1) -> dict:
     master = f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]"
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"),
-         "--frontier-only", str(n_urls), "--master", master, "--runs", "1"],
-        capture_output=True, text=True, check=True, cwd=REPO)
+    for i in range(retries + 1):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--frontier-only", str(n_urls), "--master", master, "--runs", "1"],
+            capture_output=True, text=True, cwd=REPO)
+        if out.returncode == 0:
+            break
+        # transient executor loss (congested co-tenant windows can starve
+        # heartbeats in local-cluster mode): retry once, else surface stderr
+        sys.stderr.write(f"[bench_scaling] run {master} failed "
+                         f"(attempt {i + 1}):\n{out.stderr[-3000:]}\n")
+        if i == retries:
+            raise RuntimeError(f"bench.py failed at {master} "
+                               f"after {retries + 1} attempts")
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     d["master"] = master
