@@ -42,8 +42,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "priority_pop", "dedup_seen", "upsert_merge", "mv_stats", "topk_stars",
     "scalar_suite", "dedup_exact", "dedup_minhash", "dedup_minhash_verified",
-    "dedup_simhash", "ann_bruteforce", "ann_ivf", "quality_score",
-    "multimodal_pipeline",
+    "dedup_simhash", "dedup_phash", "ann_bruteforce", "ann_ivf",
+    "quality_score", "multimodal_pipeline",
 ]
 
 N_HOSTS = 100_000

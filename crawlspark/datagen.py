@@ -44,26 +44,74 @@ class GenSpec:
     # image dims drawn from this set; must be multiples of 8 (qdct blocks)
     # and even (half-res downsample)
     img_sizes: tuple = (16, 32, 64)
+    # fraction of images that are NEAR-DUPLICATE variants of an earlier
+    # base image (lightly perturbed pixels, re-encoded): the input
+    # dedup_phash exists to find. 0.0 = every image independent (the
+    # pre-round-4 behavior; all non-fixture specs keep it).
+    near_dup_rate: float = 0.0
 
 
 def _host_name(i: int) -> str:
     return f"host{i:04d}.example.com"
 
 
+def variant_pixels(base_px: np.ndarray, variant_id: str) -> np.ndarray:
+    """Deterministic near-duplicate perturbation: +-1 on ~3% of channel
+    values, keyed by the VARIANT's id so regeneration is reproducible and
+    tests can reconstruct any variant from (base pixels, variant id). Small
+    enough that the 64-bit phash of the perturbed image stays within a few
+    bits of the base's (measured 0-4; dedup_phash's verify threshold is 5,
+    comfortably under the 8-band pigeonhole guarantee of 7)."""
+    rng = np.random.RandomState(hash64(variant_id) & 0x7FFFFFFF)
+    noise = rng.randint(-3, 4, base_px.shape).astype(np.int16)
+    mask = rng.rand(*base_px.shape) < 0.15
+    return np.clip(base_px.astype(np.int16) + noise * mask, 0, 255) \
+             .astype(np.uint8)
+
+
+def variant_base_index(spec: GenSpec, i: int) -> int | None:
+    """Which earlier image index row ``i`` is a near-dup variant of, or
+    None for independent rows. Pure function of (spec, i): the last
+    ``round(n*near_dup_rate)`` rows are variants, each of a base drawn from
+    a RandomState seeded off the spec seed — the same rule
+    :func:`gen_image_caption` applies."""
+    n_variants = int(round(spec.n_images * spec.near_dup_rate))
+    n_base = spec.n_images - n_variants
+    if i < n_base:
+        return None
+    vrng = np.random.RandomState(spec.seed + 1_000_003)
+    bases = vrng.randint(0, n_base, size=n_variants)
+    return int(bases[i - n_base])
+
+
 def gen_image_caption(spec: GenSpec) -> pd.DataFrame:
     """Primary input table — exact input_hint shape:
     (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
     caption:string, phash:int64). ``phash`` is computed over the *decoded*
-    payload so the recompute invariant holds exactly even for lossy qdct."""
+    payload so the recompute invariant holds exactly even for lossy qdct.
+
+    With ``spec.near_dup_rate > 0`` the tail rows are near-duplicate
+    variants of earlier base images (same dims/fmt, pixels perturbed by
+    :func:`variant_pixels`) — real re-hosted-image copies for dedup_phash
+    to find; every per-row invariant (phash == phash64(decoded), caption,
+    PSNR for lossy fmts vs the variant's own source pixels) still holds."""
     rng = np.random.RandomState(spec.seed)
     sizes = np.array(spec.img_sizes, dtype=np.int32)
     rows = []
+    base_px_cache: list[np.ndarray] = []
     for i in range(spec.n_images):
         image_id = f"img_{i:012d}"
-        w = int(sizes[rng.randint(len(sizes))])
-        h = int(sizes[rng.randint(len(sizes))])
-        fmt = codecs.FORMATS[rng.randint(len(codecs.FORMATS))]
-        px = codecs.make_pixels(image_id, w, h)
+        base = variant_base_index(spec, i)
+        if base is None:
+            w = int(sizes[rng.randint(len(sizes))])
+            h = int(sizes[rng.randint(len(sizes))])
+            fmt = codecs.FORMATS[rng.randint(len(codecs.FORMATS))]
+            px = codecs.make_pixels(image_id, w, h)
+            base_px_cache.append(px)
+        else:
+            b = rows[base]
+            w, h, fmt = b["w"], b["h"], b["fmt"]
+            px = variant_pixels(base_px_cache[base], image_id)
         buf = codecs.encode_image(px, fmt)
         decoded = codecs.decode_image(buf, fmt, w, h)
         rows.append(
@@ -93,7 +141,8 @@ def gen_image_caption(spec: GenSpec) -> pd.DataFrame:
 # wider mixed dims (16..128) so the green driver row certifies hundreds of
 # decodes across every fmt x size combination.
 IMAGE_FIXTURE_SPEC = GenSpec(seed=42, n_images=512, n_urls=512, n_hosts=4,
-                             img_sizes=(16, 32, 64, 96, 128))
+                             img_sizes=(16, 32, 64, 96, 128),
+                             near_dup_rate=0.125)
 IMAGE_FIXTURE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "fixtures", "images_512.parquet")

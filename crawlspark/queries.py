@@ -429,22 +429,23 @@ def newer_wins(spark, sf):
 # =========================================================================
 
 @q("count_all", """
-SELECT count(*) AS n FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-06-01'
+SELECT (SELECT count(*) FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '1995-06-01') AS n,
+       (SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') FROM events) AS max_ts
 """)
 def count_all(spark, sf):
-    """A1: COUNT(*) with optional predicate (ref: database.py:300-313)."""
-    return (_t(spark, sf, "lineitem")
-            .filter(F.col("l_shipdate") > "1995-06-01")
-            .agg(F.count("*").alias("n")))
-
-
-@q("max_ts", """
-SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts FROM events
-""")
-def max_ts(spark, sf):
-    """A3: MAX timestamp (ref: SELECT MAX(crawled_at), database.py:616-618)."""
-    return (_t(spark, sf, "events")
-            .agg(F.date_format(F.max("ts"), TS_US).alias("max_ts")))
+    """A1 + A3 in one driver row: COUNT(*) with predicate (ref:
+    database.py:300-313) and MAX timestamp (ref: SELECT MAX(crawled_at),
+    database.py:616-618). Merged (like F7-inside-F4, O5-inside-S5) to keep
+    the registry inside the driver's 50-row window while freeing a slot for
+    dedup_phash; both are single-row partial-agg scans, and the crossJoin
+    of two 1-row aggregates is a no-op at any scale."""
+    n = (_t(spark, sf, "lineitem")
+         .filter(F.col("l_shipdate") > "1995-06-01")
+         .agg(F.count("*").alias("n")))
+    mx = (_t(spark, sf, "events")
+          .agg(F.date_format(F.max("ts"), TS_US).alias("max_ts")))
+    return n.crossJoin(mx)
 
 
 @q("epoch_counters", """

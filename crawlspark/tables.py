@@ -200,6 +200,78 @@ class SnapshotStore:
                     meta=snap.meta)
         return len(absorb)
 
+    def compact_bucketed(self, spark: "SparkSession", name: str,
+                         key: str | None = None,
+                         n_buckets: int | None = None) -> int:
+        """Re-bucket maintenance for a key-hash-bucketed table (the map
+        :func:`merge_into` and :func:`crawlspark.operators.recrawl.forget_urls`
+        scope their rewrites by): absorb files appended since the last
+        bucketing ("loose" files — e.g. the epoch loop's per-epoch url_seen
+        appends) into their buckets' file-sets. INCREMENTAL: only buckets
+        that actually receive loose rows are rewritten; every other bucket
+        keeps its exact files. The first call performs the one-time full
+        bucketing. Cost is O(loose rows + touched buckets), never O(table) —
+        the property that makes per-epoch maintenance viable at 10^10 rows.
+        On Iceberg this is ``rewrite_data_files`` on a bucket-partitioned
+        table. Returns the number of loose files absorbed."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        bucket_map, loose = bucket_state(snap, name)
+        rels = snap.tables.get(name, [])
+        if not rels or (bucket_map is not None and not loose):
+            return 0
+        spec = snap.meta.get("bucket_spec", {}).get(name)
+        if key is None or n_buckets is None:
+            if spec is None:
+                raise ValueError(
+                    f"table {name!r} has no recorded bucket_spec; pass "
+                    "key/n_buckets for the initial bucketing")
+            key, n_buckets = spec["key"], int(spec["n"])
+        elif spec is not None and (spec["key"] != key
+                                   or int(spec["n"]) != int(n_buckets)):
+            raise ValueError(
+                f"table {name!r} is bucketed as {spec}; re-bucketing with "
+                "different params requires a fresh full bucketing (drop the "
+                "spec first)")
+        bucket_of = F.pmod(F.xxhash64(F.col(key)),
+                           F.lit(n_buckets)).cast("int")
+        if bucket_map is None:
+            slice_df = self.read(spark, name)
+            old_map: dict = {}
+            absorbed = list(rels)
+        else:
+            loose_df = spark.read.parquet(
+                *[os.path.join(self.root, f) for f in loose])
+            touched = sorted(int(r["_b"]) for r in
+                             loose_df.select(bucket_of.alias("_b"))
+                             .distinct().collect())
+            tfiles = [os.path.join(self.root, f)
+                      for b in touched for f in bucket_map.get(str(b), [])]
+            slice_df = (loose_df.unionByName(spark.read.parquet(*tfiles))
+                        if tfiles else loose_df)
+            old_map = {k: list(v) for k, v in bucket_map.items()}
+            absorbed = loose
+        slice_df = slice_df.persist()
+        present = sorted(int(r["_b"]) for r in
+                         slice_df.select(bucket_of.alias("_b")).distinct()
+                         .collect())
+        new_map = dict(old_map)
+        for b in present:
+            new_map[str(b)] = self.stage(
+                slice_df.filter(bucket_of == b), name)
+        slice_df.unpersist()
+        files = [f for b in sorted(new_map, key=int) for f in new_map[b]]
+        all_buckets: dict = snap.meta.get("merge_buckets", {})
+        specs: dict = snap.meta.get("bucket_spec", {})
+        self.commit(epoch=snap.epoch, replaces={name: files},
+                    meta={**snap.meta,
+                          "merge_buckets": {**all_buckets, name: new_map},
+                          "bucket_spec": {**specs,
+                                          name: {"key": key,
+                                                 "n": int(n_buckets)}}})
+        return len(absorbed)
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Delete data files not referenced by any of the last ``keep_last``
         commit manifests, plus the older manifests themselves — the Iceberg
@@ -253,6 +325,22 @@ class SnapshotStore:
         if not fs:
             return None
         return spark.read.parquet(*fs)
+
+
+def bucket_state(snap: Snapshot, name: str) -> tuple[dict | None, list[str]]:
+    """(bucket_map, loose_files) for a table: the per-bucket file-sets
+    recorded in snapshot meta ``merge_buckets[name]`` (None if the table
+    was never bucketed) plus any files appended since the map was last
+    written — the epoch loop appends url_seen rows without re-bucketing,
+    so every scoped reader/writer must treat those "loose" files as
+    touching EVERY bucket until :meth:`SnapshotStore.compact_bucketed`
+    absorbs them."""
+    m = snap.meta.get("merge_buckets", {}).get(name)
+    files = snap.tables.get(name, [])
+    if m is None:
+        return None, list(files)
+    mapped = {f for fs in m.values() for f in fs}
+    return m, [f for f in files if f not in mapped]
 
 
 def dedup_updates(updates: "DataFrame", key: str,
@@ -331,7 +419,7 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
 
     bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     all_buckets: dict = snap.meta.get("merge_buckets", {})
-    bucket_files = all_buckets.get(name)
+    bucket_files, loose = bucket_state(snap, name)
 
     if bucket_files is None:
         # first bucketed merge: one-time full bucketing rewrite (merge via
@@ -360,13 +448,16 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
         merged.unpersist()
     else:
         # scoped path: updates touch a known set of buckets; read, merge and
-        # rewrite only those
+        # rewrite only those — plus any loose files appended since the last
+        # bucketing (they can hold ANY bucket's keys, so the matched-row
+        # check must see them and their rows get re-homed into buckets here)
         updates = updates.persist()
         touched = sorted(int(r["_b"]) for r in
                          updates.select(bucket_of.alias("_b")).distinct()
                          .collect())
         tfiles = [os.path.join(store.root, f)
                   for b in touched for f in bucket_files.get(str(b), [])]
+        tfiles += [os.path.join(store.root, f) for f in loose]
         target_t = spark.read.parquet(*tfiles) if tfiles else None
         if target_t is not None and newer_col is not None:
             t_keyed = target_t.select(F.col(key),
@@ -379,17 +470,33 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
             target_t.join(updates.select(key), key, "left_anti")
             .unionByName(updates))
         merged = merged.persist()
+        # rewrite: the updates' buckets, plus buckets whose rows were
+        # sitting in loose files (they must land somewhere bucketed).
+        # Touched buckets REPLACE their file-set (their mapped files were
+        # fully read into the slice); untouched buckets only had loose rows
+        # in the slice, so the re-homed rows APPEND to their existing set.
+        write_buckets = (sorted(set(touched) | {
+            int(r["_b"]) for r in merged.select(bucket_of.alias("_b"))
+            .distinct().collect()}) if loose else touched)
         new_map = {k: list(v) for k, v in bucket_files.items()}
-        for b in touched:
-            new_map[str(b)] = store.stage(merged.filter(bucket_of == b), name)
+        for b in write_buckets:
+            staged = store.stage(merged.filter(bucket_of == b), name)
+            if b in touched:
+                new_map[str(b)] = staged
+            else:
+                new_map[str(b)] = new_map.get(str(b), []) + staged
         merged.unpersist()
         updates.unpersist()
         files = [f for b in sorted(new_map, key=int) for f in new_map[b]]
 
+    specs: dict = snap.meta.get("bucket_spec", {})
     store.commit(epoch=int(snap.meta.get("last_epoch", -1)),
                  replaces={name: files},
                  meta={**snap.meta,
-                       "merge_buckets": {**all_buckets, name: new_map}})
+                       "merge_buckets": {**all_buckets, name: new_map},
+                       "bucket_spec": {**specs,
+                                       name: {"key": key,
+                                              "n": int(n_buckets)}}})
 
 
 def upsert_row(spark: "SparkSession", store: SnapshotStore, name: str,

@@ -642,6 +642,61 @@ def _image_table(spark):
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash")
 
 
+# 8 bands x 8 bits over the 64-bit phash: pigeonhole guarantees any pair
+# with hamming <= 7 matches exactly in at least one band, so recall at the
+# verify threshold below is EXACT (the oracle is an all-pairs scan).
+_PHASH_BANDS = 8
+_PHASH_THRESHOLD = 5
+
+ORACLE_SQL["dedup_phash"] = f"""
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM read_parquet('{IMAGE_FIXTURE_PATH}') a
+JOIN read_parquet('{IMAGE_FIXTURE_PATH}') b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def dedup_phash(spark, sf):
+    """Perceptual-hash near-duplicate image pairs (hamming(phash) <=
+    {threshold}) — the image-payload twin of dedup_minhash, over the
+    input_hint's own ``phash:int64`` column (V5 recomputes it from bytes;
+    this operator USES it, so no decode in the plan at all).
+
+    Banding, not all-pairs: the 64-bit phash splits into 8 disjoint 8-bit
+    bands; two images are candidates iff some band is byte-identical (an
+    equi-join on the band key — pigeonhole-exact recall for hamming <= 7,
+    so every true pair at the <= 5 verify threshold is found and the
+    all-pairs DuckDB oracle can certify value-exactness). At 10^10 images
+    the plan is one explode (x8) + one skew-hardened band self-join +
+    bit_count verify on candidates only; a crawl-scale boilerplate cluster
+    (the same thumbnail re-hosted 10^5 times -> one band bucket, 10^10
+    pairs) routes through the salted triangle join like every other LSH
+    family here."""
+    img = _image_table(spark).select("image_id", "phash")
+    bands = [
+        (F.shiftrightunsigned(F.col("phash"), 8 * b)
+         .bitwiseAND(F.lit(255)) + F.lit(b * 256)).cast("int")
+        for b in range(_PHASH_BANDS)]  # +b*256: disjoint keyspace per band
+    melted = img.select(
+        "image_id", "phash", F.explode(F.array(*bands)).alias("band"))
+    pairs = _skew_safe_bucket_pairs(melted, "band", "image_id")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))).cast("int")
+    return (pairs
+            .select(F.col("a.image_id").alias("id_a"),
+                    F.col("b.image_id").alias("id_b"),
+                    ham.alias("hamming"))
+            # a close pair matches in MANY bands; one row per pair
+            .dropDuplicates(["id_a", "id_b"])
+            .filter(F.col("hamming") <= _PHASH_THRESHOLD)
+            .orderBy("id_a", "id_b"))
+
+
+QUERIES["dedup_phash"] = dedup_phash
+
+
 def multimodal_pipeline(spark, sf):
     """The full multimodal image stage as ONE mapInPandas pass (merged from
     the round-2 meta/resize/histogram trio — same fixture scan, one decode
