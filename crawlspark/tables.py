@@ -219,21 +219,22 @@ class SnapshotStore:
         snap = self.snapshot()
         bucket_map, loose = bucket_state(snap, name)
         rels = snap.tables.get(name, [])
-        if not rels or (bucket_map is not None and not loose):
-            return 0
         spec = snap.meta.get("bucket_spec", {}).get(name)
         if key is None or n_buckets is None:
-            if spec is None:
+            if spec is None and rels:
                 raise ValueError(
                     f"table {name!r} has no recorded bucket_spec; pass "
                     "key/n_buckets for the initial bucketing")
-            key, n_buckets = spec["key"], int(spec["n"])
+            if spec is not None:
+                key, n_buckets = spec["key"], int(spec["n"])
         elif spec is not None and (spec["key"] != key
                                    or int(spec["n"]) != int(n_buckets)):
             raise ValueError(
                 f"table {name!r} is bucketed as {spec}; re-bucketing with "
                 "different params requires a fresh full bucketing (drop the "
                 "spec first)")
+        if not rels or (bucket_map is not None and not loose):
+            return 0
         bucket_of = F.pmod(F.xxhash64(F.col(key)),
                            F.lit(n_buckets)).cast("int")
         if bucket_map is None:
@@ -397,16 +398,23 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
     updates = dedup_updates(updates, key, newer_col)
     snap = store.snapshot()
 
+    def drop_stale(updates, target):
+        """Drop updates NOT newer than their matched target row. The target
+        version is max(newer_col) per key — one row per key reaches the
+        join (partial-agg map-side), so the check stays well-defined even
+        if a transient duplicate key exists (contract: appends never
+        duplicate a merged table's keys; merges are the mutation path)."""
+        t_keyed = (target.groupBy(key)
+                   .agg(F.max(newer_col).alias("_t_newer")))
+        return (updates.join(t_keyed, key, "left")
+                .filter(F.col("_t_newer").isNull()
+                        | (F.col(newer_col) > F.col("_t_newer")))
+                .drop("_t_newer"))
+
     if n_buckets is None:
         target = store.read(spark, name)
         if target is not None and newer_col is not None:
-            # drop updates that are NOT newer than their matched target row
-            t_keyed = target.select(F.col(key),
-                                    F.col(newer_col).alias("_t_newer"))
-            updates = (updates.join(t_keyed, key, "left")
-                       .filter(F.col("_t_newer").isNull()
-                               | (F.col(newer_col) > F.col("_t_newer")))
-                       .drop("_t_newer"))
+            updates = drop_stale(updates, target)
         if target is None:
             merged = updates
         else:
@@ -426,12 +434,7 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
         # the plain path semantics, then split the result by bucket)
         target = store.read(spark, name)
         if target is not None and newer_col is not None:
-            t_keyed = target.select(F.col(key),
-                                    F.col(newer_col).alias("_t_newer"))
-            updates = (updates.join(t_keyed, key, "left")
-                       .filter(F.col("_t_newer").isNull()
-                               | (F.col(newer_col) > F.col("_t_newer")))
-                       .drop("_t_newer"))
+            updates = drop_stale(updates, target)
         merged = updates if target is None else (
             target.join(updates.select(key), key, "left_anti")
             .unionByName(updates))
@@ -460,12 +463,7 @@ def merge_into(spark: "SparkSession", store: SnapshotStore, name: str,
         tfiles += [os.path.join(store.root, f) for f in loose]
         target_t = spark.read.parquet(*tfiles) if tfiles else None
         if target_t is not None and newer_col is not None:
-            t_keyed = target_t.select(F.col(key),
-                                      F.col(newer_col).alias("_t_newer"))
-            updates = (updates.join(t_keyed, key, "left")
-                       .filter(F.col("_t_newer").isNull()
-                               | (F.col(newer_col) > F.col("_t_newer")))
-                       .drop("_t_newer"))
+            updates = drop_stale(updates, target_t)
         merged = updates if target_t is None else (
             target_t.join(updates.select(key), key, "left_anti")
             .unionByName(updates))
