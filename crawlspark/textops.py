@@ -688,9 +688,12 @@ def dedup_phash(spark, sf):
             .select(F.col("a.image_id").alias("id_a"),
                     F.col("b.image_id").alias("id_b"),
                     ham.alias("hamming"))
+            # verify BEFORE the distinct: bit_count is free per candidate
+            # row, and dropping hamming>threshold first keeps the far more
+            # numerous false candidates out of the dedup shuffle entirely
+            .filter(F.col("hamming") <= _PHASH_THRESHOLD)
             # a close pair matches in MANY bands; one row per pair
             .dropDuplicates(["id_a", "id_b"])
-            .filter(F.col("hamming") <= _PHASH_THRESHOLD)
             .orderBy("id_a", "id_b"))
 
 

@@ -98,6 +98,32 @@ def test_dedup_embedding_no_nested_loop(spark, sf001):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_phash_band_equi_join_verify_before_distinct(spark, sf001):
+    """dedup_phash candidates come from the 8x8-bit band EQUI-join (never
+    all-pairs — a nested-loop over 10^10 images is the plan this operator
+    exists to avoid), the hamming verify runs as a JVM-side Filter BEFORE
+    the pair-dedup exchange (false candidates — the vast majority — never
+    enter the distinct shuffle), and the phash scan reads only the two
+    columns the operator needs (no bytes/caption in ReadSchema)."""
+    from crawlspark.textops import QUERIES
+
+    df = QUERIES["dedup_phash"](spark, sf001)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert rs and "phash" in rs[0]
+    assert "bytes" not in rs[0] and "caption" not in rs[0]
+    # optimized logical plan prints parent-first: the pair-distinct
+    # Aggregate must appear ABOVE the bit_count verify Filter (i.e. the
+    # filter executes first). Catalyst cannot derive this reorder itself —
+    # hamming is not a grouping column — so the operator must declare it.
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    dedup_line = logical.index("Aggregate")
+    verify_line = logical.index("bit_count")
+    assert dedup_line < verify_line, logical
+
+
 def test_admission_shuffles_are_compact(spark):
     """Late materialization: the admission Window/Exchange stages must carry
     compact hashed keys only — no url/host STRING columns through the sorts
