@@ -112,15 +112,32 @@ def cmd_crawl(args) -> int:
 
 
 def cmd_export(args) -> int:
+    from pyspark.sql import functions as F
+
     from .sources.export import export_csv, export_json
     from .tables import SnapshotStore
 
     spark = _spark(args.cpus)
     store = SnapshotStore(args.store)
-    df = store.read(spark, args.table)
+    lo, hi = args.since_epoch, args.until_epoch
+    windowed = lo is not None or hi is not None
+    # manifest-stats file skip first, then the row-wise filter the skip is
+    # an optimization of (files without recorded bounds are still read)
+    df = store.read(spark, args.table,
+                    where=("epoch", lo, hi) if windowed else None)
     if df is None:
-        print(f"table {args.table!r} has no data", file=sys.stderr)
+        print(f"table {args.table!r} has no "
+              + ("rows in that epoch window" if windowed else "data"),
+              file=sys.stderr)
         return 1
+    if windowed:
+        if "epoch" not in df.columns:
+            print(f"table {args.table!r} has no epoch column", file=sys.stderr)
+            return 1
+        if lo is not None:
+            df = df.filter(F.col("epoch") >= lo)
+        if hi is not None:
+            df = df.filter(F.col("epoch") <= hi)
     if args.format == "csv":
         export_csv(df, args.out, single_file=args.single_file)
     elif args.format == "json":
@@ -299,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
                    default="csv")
     p.add_argument("--out", required=True)
     p.add_argument("--single-file", action="store_true")
+    p.add_argument("--since-epoch", type=int, default=None,
+                   help="epoch window lower bound (manifest-stats file skip)")
+    p.add_argument("--until-epoch", type=int, default=None,
+                   help="epoch window upper bound")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("health", help="composed status dict")

@@ -330,7 +330,11 @@ def run_epoch(spark: SparkSession, store: SnapshotStore, images: DataFrame,
 
     # ---- stage + single atomic commit -------------------------------------
     appends = {}
-    appends["crawl_log"] = store.stage(crawl_log, "crawl_log")
+    # crawl_log is append-per-epoch, so each file's [min,max] epoch bound is
+    # a single point — manifest stats make any epoch-windowed read of the
+    # log O(window files), not O(history) (tables.files where=)
+    appends["crawl_log"] = store.stage(crawl_log, "crawl_log",
+                                       stats_cols=("epoch",))
     appends["url_seen"] = store.stage(new_seen, "url_seen")
     appends["epoch_metrics"] = store.stage(metrics, "epoch_metrics")
     if cfg.use_bloom:

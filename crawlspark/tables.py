@@ -45,15 +45,59 @@ class Snapshot:
     epoch: int
     tables: dict  # name -> list[str] (paths relative to store root)
     meta: dict
+    # relpath -> {col: [min, max]} — per-file column bounds recorded at
+    # stage time (Iceberg manifest column stats), used for scan-planning
+    # file skips; absence of a file/col entry means "no information" (the
+    # file is always read), so old manifests stay valid.
+    stats: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.stats is None:
+            object.__setattr__(self, "stats", {})
 
 
 _EMPTY = Snapshot(commit_id=-1, epoch=-1, tables={}, meta={})
+
+
+def _file_stats(path: str, cols: tuple | list) -> dict:
+    """Min/max per requested numeric column from the parquet footer (row
+    group statistics — already computed by the writer, so collection is one
+    footer read, no data scan). Columns without footer stats are omitted."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    if md.num_rows == 0:
+        # an empty part file (common under fixed shuffle partitioning on
+        # small epochs) can never satisfy any predicate — mark it so pruned
+        # reads skip it outright
+        return {"__empty__": True}
+    idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        j = idx.get(c)
+        if j is None:
+            continue
+        lo = hi = None
+        ok = True
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            out[c] = [lo, hi]
+    return out
 
 
 class SnapshotStore:
     def __init__(self, root: str):
         self.root = os.path.abspath(root)
         os.makedirs(os.path.join(self.root, "_log"), exist_ok=True)
+        # stats collected by stage(stats_cols=...) awaiting their commit;
+        # commit() moves entries for files it references into the manifest
+        self._pending_stats: dict[str, dict] = {}
 
     # -- log ----------------------------------------------------------------
 
@@ -78,14 +122,24 @@ class SnapshotStore:
         with open(self._commit_path(cid)) as fh:
             d = json.load(fh)
         return Snapshot(commit_id=d["commit_id"], epoch=d["epoch"],
-                        tables=d["tables"], meta=d.get("meta", {}))
+                        tables=d["tables"], meta=d.get("meta", {}),
+                        stats=d.get("stats", {}))
 
     # -- staging ------------------------------------------------------------
 
-    def stage(self, df: "DataFrame", name: str) -> list[str]:
+    def stage(self, df: "DataFrame", name: str,
+              stats_cols: tuple | list | None = None) -> list[str]:
         """Write a DataFrame's parquet files under the table dir WITHOUT
         registering them. Returns store-relative paths for a later commit.
-        Invisible to readers until the commit manifest lands."""
+        Invisible to readers until the commit manifest lands.
+
+        ``stats_cols`` records per-file min/max bounds for those columns in
+        the NEXT commit's manifest (read from the parquet footers the writer
+        already produced — no extra scan). Readers passing ``where=`` to
+        :meth:`read`/:meth:`files` then skip files whose bounds cannot
+        match — the Iceberg manifest-stats scan-planning step, which is what
+        keeps an epoch-windowed crawl_log query O(window) instead of
+        O(history) at 10^5 epochs."""
         tdir = os.path.join(self.root, name)
         os.makedirs(tdir, exist_ok=True)
         tmp = os.path.join(tdir, f".stage-{uuid.uuid4().hex}")
@@ -95,7 +149,12 @@ class SnapshotStore:
             if f.endswith(".parquet"):
                 dst = f"{uuid.uuid4().hex}-{f}"
                 os.rename(os.path.join(tmp, f), os.path.join(tdir, dst))
-                out.append(f"{name}/{dst}")
+                rel = f"{name}/{dst}"
+                out.append(rel)
+                if stats_cols:
+                    st = _file_stats(os.path.join(tdir, dst), stats_cols)
+                    if st:
+                        self._pending_stats[rel] = st
         # best-effort cleanup of _SUCCESS etc.
         for f in os.listdir(tmp):
             os.remove(os.path.join(tmp, f))
@@ -131,9 +190,17 @@ class SnapshotStore:
             tables[name] = tables[name] + list(files)
         for name, files in (replaces or {}).items():
             tables[name] = list(files)
+        # stats lifecycle follows the file list: carry forward bounds of
+        # files still live, adopt pending bounds of newly referenced files,
+        # drop bounds of files replaced away
+        live = {f for fs in tables.values() for f in fs}
+        stats = {f: v for f, v in cur.stats.items() if f in live}
+        for f in list(self._pending_stats):
+            if f in live:
+                stats[f] = self._pending_stats.pop(f)
         cid = cur.commit_id + 1
         payload = {"commit_id": cid, "epoch": epoch, "tables": tables,
-                   "meta": meta or {}}
+                   "meta": meta or {}, "stats": stats}
         tmp = os.path.join(self._log_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -145,7 +212,7 @@ class SnapshotStore:
             raise RuntimeError(f"commit {cid} already exists")
         os.rename(tmp, final)
         return Snapshot(commit_id=cid, epoch=epoch, tables=tables,
-                        meta=meta or {})
+                        meta=meta or {}, stats=stats)
 
     # -- maintenance --------------------------------------------------------
 
@@ -195,7 +262,11 @@ class SnapshotStore:
         df = df.repartition(target_files)
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
-        staged = self.stage(df, name)
+        # keep tracking whatever bounds the absorbed files carried, so
+        # compaction never silently disables manifest-stats pruning
+        tracked = sorted({c for r in absorb
+                          for c in snap.stats.get(r, {}) if c != "__empty__"})
+        staged = self.stage(df, name, stats_cols=tracked or None)
         self.commit(epoch=snap.epoch, replaces={name: keep + staged},
                     meta=snap.meta)
         return len(absorb)
@@ -257,10 +328,13 @@ class SnapshotStore:
         present = sorted(int(r["_b"]) for r in
                          slice_df.select(bucket_of.alias("_b")).distinct()
                          .collect())
+        tracked = sorted({c for r in rels
+                          for c in snap.stats.get(r, {})
+                          if c != "__empty__"}) or None
         new_map = dict(old_map)
         for b in present:
             new_map[str(b)] = self.stage(
-                slice_df.filter(bucket_of == b), name)
+                slice_df.filter(bucket_of == b), name, stats_cols=tracked)
         slice_df.unpersist()
         files = [f for b in sorted(new_map, key=int) for f in new_map[b]]
         all_buckets: dict = snap.meta.get("merge_buckets", {})
@@ -315,14 +389,38 @@ class SnapshotStore:
 
     # -- read ---------------------------------------------------------------
 
-    def files(self, name: str, commit_id: int | None = None) -> list[str]:
+    def files(self, name: str, commit_id: int | None = None,
+              where: tuple | None = None) -> list[str]:
+        """Table file list at a snapshot. ``where=(col, lo, hi)`` (either
+        bound may be None) drops files whose recorded [min, max] bounds for
+        ``col`` cannot intersect the interval — manifest-stats scan
+        planning. Files without recorded bounds are always kept, so the
+        prune is purely an optimization: the caller still applies the same
+        predicate row-wise and gets identical results with or without it."""
         snap = self.snapshot(commit_id)
-        return [os.path.join(self.root, f) for f in snap.tables.get(name, [])]
+        rels = snap.tables.get(name, [])
+        if where is not None:
+            col, lo, hi = where
+            kept = []
+            for r in rels:
+                st = snap.stats.get(r, {})
+                if st.get("__empty__"):
+                    continue
+                b = st.get(col)
+                if b is not None and ((hi is not None and b[0] > hi)
+                                      or (lo is not None and b[1] < lo)):
+                    continue
+                kept.append(r)
+            rels = kept
+        return [os.path.join(self.root, f) for f in rels]
 
     def read(self, spark: "SparkSession", name: str,
-             commit_id: int | None = None) -> "DataFrame | None":
-        """Read a table at a snapshot; None if the table has no files yet."""
-        fs = self.files(name, commit_id)
+             commit_id: int | None = None,
+             where: tuple | None = None) -> "DataFrame | None":
+        """Read a table at a snapshot; None if no files survive. ``where``
+        skips files by manifest bounds (see :meth:`files`) — the caller must
+        still filter rows (kept files may hold out-of-range rows too)."""
+        fs = self.files(name, commit_id, where=where)
         if not fs:
             return None
         return spark.read.parquet(*fs)

@@ -531,12 +531,27 @@ def ann_ivf(spark, sf, nprobe: int = 1):
 # text analysis
 # =========================================================================
 
-@q("quality_score", """
+# BPE-ish tokenization: a regex lexer pass (letter runs / digit runs /
+# single other non-space chars — the GPT-2 pre-tokenizer shape) plus a
+# greedy fixed-width subword chunking (ceil(len/4) units per word — the
+# budget estimate BPE vocabularies converge near for English). Both are
+# pure JVM expressions (regexp_extract_all / higher-order aggregate), no
+# Python in the loop, so the pass stays in whole-stage codegen over 10^10
+# docs with only the final presentation sort as a shuffle.
+_TOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@q("quality_score", f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS toks, n_chars FROM documents
+  SELECT doc_id, string_split(text, ' ') AS toks, n_chars,
+         regexp_extract_all(text, '{_TOK_RE}') AS rx
+  FROM documents
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
+       len(rx) AS n_rx_tokens,
+       list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+         AS n_bpe_units,
        n_chars,
        len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
        CAST(floor(len(list_filter(toks, x -> x IN ('the', 'a'))) * 10000.0
@@ -545,17 +560,26 @@ SELECT doc_id,
 FROM t ORDER BY doc_id
 """)
 def quality_score(spark, sf):
-    """Document quality heuristics in one projection: whitespace token count
-    (JVM split; no Python — the token-counting operator folded in here),
-    char count, stopword ratio, mean word length — the standard pre-training
-    quality gates, all as integer basis points so the oracle compare is
-    exact."""
+    """Document quality heuristics + token counting in one projection
+    (task brief: whitespace + a BPE-ish regex): whitespace token count,
+    regex-lexer token count, greedy 4-char subword units, char count,
+    stopword ratio, mean word length — the standard pre-training quality
+    gates and corpus-size estimators, all integer-exact so the oracle
+    compare is bitwise. All JVM expressions; no Python in the loop."""
     d = (_t(spark, sf, "documents")
-         .select("doc_id", F.split("text", " ").alias("toks"), "n_chars"))
+         .select("doc_id", F.split("text", " ").alias("toks"), "n_chars",
+                 F.regexp_extract_all(F.col("text"), F.lit(_TOK_RE), F.lit(0))
+                 .alias("rx")))
     n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
     n_tok = F.size("toks")
+    bpe = F.aggregate(
+        F.transform("toks", lambda w: F.ceil(F.length(w) / 4.0).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (d.select(
-        "doc_id", n_tok.alias("n_tokens"), "n_chars", n_stop.alias("n_stop"),
+        "doc_id", n_tok.alias("n_tokens"),
+        F.size("rx").cast("long").alias("n_rx_tokens"),
+        bpe.alias("n_bpe_units"),
+        "n_chars", n_stop.alias("n_stop"),
         F.floor(n_stop * 10000.0 / n_tok).cast("long").alias("stop_bp"),
         F.floor(F.col("n_chars") * 100.0 / n_tok).cast("long")
         .alias("avg_wordlen_x100"))
