@@ -80,56 +80,91 @@ def host_discovery_rates(discoveries: DataFrame, window: str = "1 minute",
                     "n_discovered"))
 
 
+def fold_batch(spark: SparkSession, store: SnapshotStore,
+               batch_df: DataFrame, batch_id: int,
+               cursor_tag: str | None = None) -> None:
+    """One micro-batch of the frontier fold-in (the foreachBatch body,
+    module-level so replay semantics are directly testable).
+
+    Exactly-once: foreachBatch is at-least-once — after a crash between the
+    snapshot commit and the streaming checkpoint advance, the SAME batch_id
+    is replayed. The snapshot commit carries a per-checkpoint batch cursor
+    (``discovery_cursors[cursor_tag]``) in the same atomic rename, so a
+    replayed batch is detected and skipped outright (the classic
+    transactional-sink batch-id pattern). The cursor is scoped by
+    ``cursor_tag`` (the checkpoint dir) because batch ids restart at 0 for
+    a NEW query lineage — a fresh stream must not be skipped by an old
+    stream's cursor. Even without the cursor the fold is idempotent (the
+    url_seen/frontier anti-joins drop already-folded rows), but the guard
+    makes replay O(1) instead of a full dedup pass."""
+    if cursor_tag is not None:
+        done = int(store.snapshot().meta.get("discovery_cursors", {})
+                   .get(cursor_tag, -1))
+        if batch_id <= done:
+            return
+    if batch_df.isEmpty():
+        return
+    batch = dedup.supersede(batch_df.select(
+        "url", "url_hash", "host", "host_hash", "priority", "seq",
+        "image_id", "attempt", "not_before_epoch", "discovered_at"))
+    # enqueue-time robots evaluation: staged frontier rows carry the
+    # robots_denied flag so epoch scheduling stays on compact columns
+    batch = dedup.robots_flag(batch, store.read(spark, "robots"))
+    seen = store.read(spark, "url_seen")
+    if seen is not None:
+        batch = batch.join(seen.select("url_hash"), "url_hash", "left_anti")
+    enqueued = store.read(spark, "frontier")
+    if enqueued is not None:
+        batch = batch.join(enqueued.select("url_hash"), "url_hash",
+                           "left_anti")
+    batch = batch.persist()
+    counts = {int(r["priority"]): int(r["n"]) for r in
+              batch.groupBy("priority").agg(F.count("*").alias("n"))
+              .collect()}
+    if not counts:
+        # nothing new — no commit (no manifest churn for all-dup batches);
+        # the cursor intentionally does not advance, replaying a no-op
+        # batch is another no-op
+        batch.unpersist()
+        return
+    snap = store.snapshot()
+    remaining = {int(k): int(v) for k, v in
+                 snap.meta.get("remaining_by_priority", {}).items()}
+    files_by_p = dict(snap.meta.get("frontier_files_by_priority", {}))
+    appends: dict = {"frontier": []}
+    for p in sorted(counts):
+        fs = store.stage(batch.filter(F.col("priority") == p), "frontier")
+        files_by_p.setdefault(str(p), [])
+        files_by_p[str(p)] = files_by_p[str(p)] + fs
+        appends["frontier"].extend(fs)
+        remaining[p] = remaining.get(p, 0) + counts[p]
+    cursors = dict(snap.meta.get("discovery_cursors", {}))
+    if cursor_tag is not None:
+        cursors[cursor_tag] = int(batch_id)
+    store.commit(
+        epoch=int(snap.meta.get("last_epoch", -1)),
+        appends=appends,
+        meta={**snap.meta,
+              "remaining_by_priority":
+                  {str(k): v for k, v in remaining.items()},
+              "frontier_files_by_priority": files_by_p,
+              "discovery_cursors": cursors,
+              "last_discovery_batch": int(batch_id)})
+    batch.unpersist()
+
+
 def fold_into_frontier(spark: SparkSession, stream: DataFrame,
                        store: SnapshotStore, checkpoint_dir: str):
     """foreachBatch sink: per micro-batch, supersede-dedup within the batch,
     drop urls already in url_seen or already enqueued, then append to the
     stratum files and bump the remaining counters — one atomic snapshot
-    commit per micro-batch, resumable like any epoch."""
+    commit per micro-batch, resumable like any epoch and exactly-once under
+    foreachBatch replay (see :func:`fold_batch`)."""
+    import os
+    tag = os.path.abspath(checkpoint_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch = dedup.supersede(batch_df.select(
-            "url", "url_hash", "host", "host_hash", "priority", "seq",
-            "image_id", "attempt", "not_before_epoch", "discovered_at"))
-        # enqueue-time robots evaluation: staged frontier rows carry the
-        # robots_denied flag so epoch scheduling stays on compact columns
-        batch = dedup.robots_flag(batch, store.read(spark, "robots"))
-        seen = store.read(spark, "url_seen")
-        if seen is not None:
-            batch = batch.join(seen.select("url_hash"), "url_hash", "left_anti")
-        enqueued = store.read(spark, "frontier")
-        if enqueued is not None:
-            batch = batch.join(enqueued.select("url_hash"), "url_hash",
-                               "left_anti")
-        batch = batch.persist()
-        counts = {int(r["priority"]): int(r["n"]) for r in
-                  batch.groupBy("priority").agg(F.count("*").alias("n"))
-                  .collect()}
-        if not counts:
-            batch.unpersist()
-            return
-        snap = store.snapshot()
-        remaining = {int(k): int(v) for k, v in
-                     snap.meta.get("remaining_by_priority", {}).items()}
-        files_by_p = dict(snap.meta.get("frontier_files_by_priority", {}))
-        appends: dict = {"frontier": []}
-        for p in sorted(counts):
-            fs = store.stage(batch.filter(F.col("priority") == p), "frontier")
-            files_by_p.setdefault(str(p), [])
-            files_by_p[str(p)] = files_by_p[str(p)] + fs
-            appends["frontier"].extend(fs)
-            remaining[p] = remaining.get(p, 0) + counts[p]
-        store.commit(
-            epoch=int(snap.meta.get("last_epoch", -1)),
-            appends=appends,
-            meta={**snap.meta,
-                  "remaining_by_priority":
-                      {str(k): v for k, v in remaining.items()},
-                  "frontier_files_by_priority": files_by_p,
-                  "last_discovery_batch": int(batch_id)})
-        batch.unpersist()
+        fold_batch(spark, store, batch_df, batch_id, cursor_tag=tag)
 
     return (stream.writeStream
             .foreachBatch(_fold)

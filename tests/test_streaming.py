@@ -125,3 +125,63 @@ def _batch_rates(df):
             .agg(F.count("*").alias("n_discovered"))
             .select(F.col("w.start").alias("window_start"), "host",
                     "n_discovered"))
+
+
+def _mini_batch(spark, seed: int, n: int = 40):
+    """A small enriched discovery batch with urls unique to the seed."""
+    spec = datagen.GenSpec(seed=seed, n_images=SMALL.n_images, n_urls=n,
+                           n_hosts=SMALL.n_hosts, n_strata=SMALL.n_strata)
+    pdf = datagen.gen_frontier(spec)[DISC_COLS]
+    pdf["priority"] = pdf["priority"].astype("int32")
+    pdf["discovered_at"] = pdf["discovered_at"].astype("datetime64[us, UTC]")
+    return ingest.enrich_discoveries(spark.createDataFrame(pdf))
+
+
+def test_fold_batch_replay_is_skipped_by_cursor(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: after a crash between the snapshot
+    commit and the checkpoint advance the SAME batch_id replays. The
+    per-checkpoint cursor (committed atomically with the fold) must skip it
+    outright — even a replay carrying different rows (id alone decides)."""
+    tmp = tmp_path_factory.mktemp("replay_fx")
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp),
+                       str(tmp_path_factory.mktemp("replay_store")))
+
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=301), 0,
+                      cursor_tag="ckpt-A")
+    n_after_fold = store.read(spark, "frontier").count()
+    commits_after_fold = store.commits()[-1]
+    assert store.snapshot().meta["discovery_cursors"]["ckpt-A"] == 0
+
+    # replay of batch 0 on the same lineage: skipped before any work —
+    # different rows prove the cursor (not the anti-join) did the skip
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=302), 0,
+                      cursor_tag="ckpt-A")
+    assert store.read(spark, "frontier").count() == n_after_fold
+    assert store.commits()[-1] == commits_after_fold
+
+    # the next batch id on the same lineage folds normally
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=302), 1,
+                      cursor_tag="ckpt-A")
+    assert store.read(spark, "frontier").count() > n_after_fold
+    assert store.snapshot().meta["discovery_cursors"]["ckpt-A"] == 1
+
+
+def test_fold_batch_new_lineage_not_skipped_by_old_cursor(
+        spark, tmp_path_factory):
+    """Batch ids restart at 0 for a NEW query lineage (fresh checkpoint
+    dir); the cursor is scoped per checkpoint so the new stream's batch 0
+    must fold even though an old lineage already committed batch 0."""
+    tmp = tmp_path_factory.mktemp("lineage_fx")
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp),
+                       str(tmp_path_factory.mktemp("lineage_store")))
+
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=311), 0,
+                      cursor_tag="ckpt-OLD")
+    n1 = store.read(spark, "frontier").count()
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=312), 0,
+                      cursor_tag="ckpt-NEW")
+    assert store.read(spark, "frontier").count() > n1
+    cur = store.snapshot().meta["discovery_cursors"]
+    assert cur == {"ckpt-OLD": 0, "ckpt-NEW": 0}
