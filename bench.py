@@ -285,6 +285,10 @@ def main() -> None:
                              "constant census at sf0.1)",
             "dedup_minhash_verified": "inherits dedup_minhash's skew census",
             "dedup_embedding": "r4 adds sign-bucket skew hardening",
+            "quality_score": "r4 folds BPE-ish regex token counting into "
+                             "the projection (task-brief operator): "
+                             "regexp_count + a subword-unit aggregate, "
+                             "more work per row than r3's key",
         },
     }
     prev = latest_round_bench()

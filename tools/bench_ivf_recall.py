@@ -1,7 +1,7 @@
 """Measure ann_ivf's recall@10 / cost curve across nprobe (VERDICT r3 #5).
 
 nprobe=1 is the degenerate config; the operator's real API is the
-recall-vs-fraction-scanned tradeoff. This records, per nprobe in {1,2,4}:
+recall-vs-fraction-scanned tradeoff. This records, per nprobe in {1,2,4,8,16}:
 recall@10 against the exact ann_bruteforce baseline, the fraction of the
 table scored (candidate rows / total rows), and wall time — into
 IVF_RECALL.json, which tools/bench_scaling.write_bench_md folds into
@@ -40,7 +40,7 @@ def main() -> None:
     n_cents = (spark.read.parquet(f"{sf}/embeddings.parquet")
                .filter(F.col("vec_id") % 64 == 1).count())
     curve = []
-    for nprobe in (1, 2, 4):
+    for nprobe in (1, 2, 4, 8, 16):
         t0 = time.perf_counter()
         got = {r["vec_id"] for r in
                ann_ivf(spark, sf, nprobe=nprobe).collect()}

@@ -62,14 +62,22 @@ def main(n_epochs: int = 200, rows_per_epoch: int = 20_000) -> None:
         assert full_n == pruned_n == 4 * rows_per_epoch, (full_n, pruned_n)
         n_full = len(store.files("crawl_log"))
         n_pruned = len(store.files("crawl_log", where=("epoch", lo, hi)))
-        print(json.dumps({
+        out = {
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
             "metric": "epoch-window read, manifest-stats prune vs full scan",
             "n_epochs": n_epochs, "rows_per_epoch": rows_per_epoch,
             "window_epochs": 4,
             "files_full": n_full, "files_pruned": n_pruned,
             "wall_full_s": round(full_s, 3), "wall_pruned_s": round(pruned_s, 3),
             "speedup": round(full_s / pruned_s, 2),
-        }))
+        }
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(repo, "SKIP_BENCH.json"), "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(json.dumps(out))
+        from tools.bench_scaling import load_runs, write_bench_md
+        write_bench_md(load_runs())
+        print("wrote BENCH.md")
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
