@@ -45,10 +45,12 @@ class Snapshot:
     epoch: int
     tables: dict  # name -> list[str] (paths relative to store root)
     meta: dict
-    # relpath -> {col: [min, max]} — per-file column bounds recorded at
-    # stage time (Iceberg manifest column stats), used for scan-planning
-    # file skips; absence of a file/col entry means "no information" (the
-    # file is always read), so old manifests stay valid.
+    # relpath -> {col: [min, max], "__schema__": sig, "__empty__": bool} —
+    # per-file column bounds + schema fingerprint recorded at stage time
+    # (Iceberg manifest column stats / schema tracking), used for
+    # scan-planning file skips and schema-evolution detection; absence of a
+    # file/col entry means "no information" (the file is always read, with
+    # the plain first-footer schema), so old manifests stay valid.
     stats: dict = None  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -57,6 +59,17 @@ class Snapshot:
 
 
 _EMPTY = Snapshot(commit_id=-1, epoch=-1, tables={}, meta={})
+
+
+def _schema_sig(schema) -> str:
+    """Short stable fingerprint of a Spark schema (names + types, ordered).
+    Two files with the same fingerprint are read-compatible without schema
+    merging; distinct fingerprints among a table's live files mean the
+    table evolved and the reader must union schemas."""
+    import hashlib
+    blob = ";".join(f"{f.name}:{f.dataType.simpleString()}"
+                    for f in schema.fields)
+    return hashlib.md5(blob.encode()).hexdigest()[:12]
 
 
 def _file_stats(path: str, cols: tuple | list) -> dict:
@@ -144,6 +157,12 @@ class SnapshotStore:
         os.makedirs(tdir, exist_ok=True)
         tmp = os.path.join(tdir, f".stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(tmp)
+        # schema fingerprint per staged file (driver-side, no extra I/O):
+        # lets the read path detect schema evolution across a table's live
+        # files and union schemas only then (Iceberg tracks schema in table
+        # metadata for the same reason — plain parquet read takes the FIRST
+        # file's schema and silently drops columns added later)
+        sig = _schema_sig(df.schema)
         out = []
         for f in sorted(os.listdir(tmp)):
             if f.endswith(".parquet"):
@@ -151,10 +170,11 @@ class SnapshotStore:
                 os.rename(os.path.join(tmp, f), os.path.join(tdir, dst))
                 rel = f"{name}/{dst}"
                 out.append(rel)
+                entry = self._pending_stats.setdefault(rel, {})
+                entry["__schema__"] = sig
                 if stats_cols:
-                    st = _file_stats(os.path.join(tdir, dst), stats_cols)
-                    if st:
-                        self._pending_stats[rel] = st
+                    entry.update(
+                        _file_stats(os.path.join(tdir, dst), stats_cols))
         # best-effort cleanup of _SUCCESS etc.
         for f in os.listdir(tmp):
             os.remove(os.path.join(tmp, f))
@@ -258,14 +278,19 @@ class SnapshotStore:
                 f"table {name!r} has file paths referenced in snapshot meta "
                 "(file-level partition pruning); compact it per partition, "
                 "not wholesale")
-        df = spark.read.parquet(*[os.path.join(self.root, r) for r in absorb])
+        absorb_sigs = {snap.stats.get(r, {}).get("__schema__")
+                       for r in absorb}
+        reader = (spark.read.option("mergeSchema", "true")
+                  if len(absorb_sigs) > 1 else spark.read)
+        df = reader.parquet(*[os.path.join(self.root, r) for r in absorb])
         df = df.repartition(target_files)
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
         # keep tracking whatever bounds the absorbed files carried, so
         # compaction never silently disables manifest-stats pruning
         tracked = sorted({c for r in absorb
-                          for c in snap.stats.get(r, {}) if c != "__empty__"})
+                          for c in snap.stats.get(r, {})
+                          if not c.startswith("__")})
         staged = self.stage(df, name, stats_cols=tracked or None)
         self.commit(epoch=snap.epoch, replaces={name: keep + staged},
                     meta=snap.meta)
@@ -313,14 +338,22 @@ class SnapshotStore:
             old_map: dict = {}
             absorbed = list(rels)
         else:
-            loose_df = spark.read.parquet(
+            # schema evolution: loose appends may carry a newer schema than
+            # the bucketed files — union by name with nulls for columns a
+            # side lacks, the same semantics as read()'s mergeSchema path
+            evolved = self.schema_variants(name) > 1
+            reader = (spark.read.option("mergeSchema", "true")
+                      if evolved else spark.read)
+            loose_df = reader.parquet(
                 *[os.path.join(self.root, f) for f in loose])
             touched = sorted(int(r["_b"]) for r in
                              loose_df.select(bucket_of.alias("_b"))
                              .distinct().collect())
             tfiles = [os.path.join(self.root, f)
                       for b in touched for f in bucket_map.get(str(b), [])]
-            slice_df = (loose_df.unionByName(spark.read.parquet(*tfiles))
+            slice_df = (loose_df.unionByName(
+                            reader.parquet(*tfiles),
+                            allowMissingColumns=evolved)
                         if tfiles else loose_df)
             old_map = {k: list(v) for k, v in bucket_map.items()}
             absorbed = loose
@@ -330,7 +363,7 @@ class SnapshotStore:
                          .collect())
         tracked = sorted({c for r in rels
                           for c in snap.stats.get(r, {})
-                          if c != "__empty__"}) or None
+                          if not c.startswith("__")}) or None
         new_map = dict(old_map)
         for b in present:
             new_map[str(b)] = self.stage(
@@ -414,15 +447,37 @@ class SnapshotStore:
             rels = kept
         return [os.path.join(self.root, f) for f in rels]
 
+    def schema_variants(self, name: str,
+                        commit_id: int | None = None) -> int:
+        """Number of distinct schema fingerprints among a table's live
+        files (recorded at stage time). 0 = no fingerprints (pre-feature
+        files only), 1 = homogeneous, >1 = the table's schema evolved and
+        reads must union schemas."""
+        snap = self.snapshot(commit_id)
+        sigs = set()
+        for r in snap.tables.get(name, []):
+            st = snap.stats.get(r)
+            if st and "__schema__" in st:
+                sigs.add(st["__schema__"])
+        return len(sigs)
+
     def read(self, spark: "SparkSession", name: str,
              commit_id: int | None = None,
              where: tuple | None = None) -> "DataFrame | None":
         """Read a table at a snapshot; None if no files survive. ``where``
         skips files by manifest bounds (see :meth:`files`) — the caller must
-        still filter rows (kept files may hold out-of-range rows too)."""
+        still filter rows (kept files may hold out-of-range rows too).
+
+        Schema evolution: when the live files carry >1 recorded schema
+        fingerprint the read unions schemas (``mergeSchema`` — columns
+        added later read as null in older files, Iceberg's add/drop-column
+        semantics); a homogeneous table keeps the plain single-footer read,
+        so evolution support costs nothing until a table actually evolves."""
         fs = self.files(name, commit_id, where=where)
         if not fs:
             return None
+        if self.schema_variants(name, commit_id) > 1:
+            return spark.read.option("mergeSchema", "true").parquet(*fs)
         return spark.read.parquet(*fs)
 
 
