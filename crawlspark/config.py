@@ -83,6 +83,11 @@ class CrawlConfig:
     # size are absorbed, so steady-state maintenance is O(new small files),
     # never O(table). None = wholesale rewrite every maintenance pass.
     compact_small_file_bytes: int | None = 64 << 20
+    # Maintain url_seen key-hash BUCKETED (merge_buckets file-sets) so the
+    # TTL-recrawl forget is a bucket-scoped DELETE, never an O(table)
+    # rewrite. 0 = unbucketed (plain compaction). At production scale this
+    # is sized so one bucket ~ one task's worth of seen rows.
+    useen_n_buckets: int = 16
 
     def backoff_epochs(self, attempt: int) -> int:
         """Exponential backoff in epochs for a row about to carry `attempt`

@@ -7,9 +7,13 @@ cannot, which is why the cuckoo backend exists).
 
 ``forget_urls`` makes a set of URLs eligible again in ONE atomic commit:
 
-* ``url_seen``      — exact ground truth: anti-join the targets out
-  (wholesale replace here; on Iceberg this is a ``DELETE WHERE`` — the
-  snapshot manifest supports per-file replaces, same note as merge_into);
+* ``url_seen``      — exact ground truth: anti-join the targets out.
+  When the table is key-hash bucketed (bucket_spec + merge_buckets,
+  :func:`crawlspark.tables.SnapshotStore.compact_bucketed`), the delete is
+  BUCKET-SCOPED: only buckets holding target keys (plus not-yet-bucketed
+  loose appends) are rewritten, every other bucket's files keep their
+  exact paths — O(touched + loose), the Iceberg ``DELETE WHERE`` analog.
+  Unbucketed tables fall back to a wholesale replace;
 * ``seen_filter``   — backend-dependent:
   - cuckoo: ``deleted_buckets`` clears one fingerprint per target —
     O(targets), touching only their buckets (the delete-capable filter's
@@ -30,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
+from .. import tables as tbl
 from ..tables import SnapshotStore
 from . import bloom as bloom_ops
 from . import cuckoo as cuckoo_ops
@@ -57,7 +62,46 @@ def forget_urls(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
         hit.unpersist()
         return 0
     remaining = url_seen.join(keys, "url_hash", "left_anti")
-    replaces = {"url_seen": store.stage(remaining, "url_seen")}
+
+    meta_updates: dict = {}
+    bucket_map, loose = tbl.bucket_state(snap, "url_seen")
+    spec = snap.meta.get("bucket_spec", {}).get("url_seen")
+    if bucket_map is not None and spec:
+        # bucket-scoped DELETE (the Iceberg DELETE WHERE analog): rewrite
+        # only the buckets holding target keys plus the loose per-epoch
+        # appends; every other bucket's files keep their exact paths — the
+        # forget is O(touched buckets + loose), never O(table), which is
+        # what makes TTL recrawl viable against a 10^10-row seen set
+        import os
+        key_col, n_b = spec["key"], int(spec["n"])
+        bucket_of = F.pmod(F.xxhash64(F.col(key_col)),
+                           F.lit(n_b)).cast("int")
+        touched = sorted({int(r["_b"]) for r in
+                          hit.select(bucket_of.alias("_b"))
+                          .distinct().collect()})
+        new_map = {k: list(v) for k, v in bucket_map.items()}
+        for b in touched:
+            bfiles = bucket_map.get(str(b), [])
+            if not bfiles:
+                continue
+            bdf = spark.read.parquet(
+                *[os.path.join(store.root, f) for f in bfiles])
+            new_map[str(b)] = store.stage(
+                bdf.join(keys, "url_hash", "left_anti"), "url_seen")
+        new_loose: list[str] = []
+        if loose:
+            ldf = spark.read.parquet(
+                *[os.path.join(store.root, f) for f in loose])
+            new_loose = store.stage(
+                ldf.join(keys, "url_hash", "left_anti"), "url_seen")
+        ordered = [f for b in sorted(new_map, key=int)
+                   for f in new_map[b]] + new_loose
+        replaces = {"url_seen": ordered}
+        meta_updates["merge_buckets"] = {
+            **snap.meta.get("merge_buckets", {}), "url_seen": new_map}
+    else:
+        # unbucketed table: wholesale replace (small stores / tests)
+        replaces = {"url_seen": store.stage(remaining, "url_seen")}
 
     appends: dict = {}
     seen_filter = store.read(spark, "seen_filter")
@@ -81,6 +125,7 @@ def forget_urls(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
 
     store.commit(epoch, appends=appends, replaces=replaces, meta={
         **snap.meta,
+        **meta_updates,
         **(meta_extra or {}),
         "last_forget": {"epoch": epoch, "n_forgotten": n_forgotten},
     })

@@ -103,8 +103,18 @@ def maintain_store(spark: SparkSession, store: SnapshotStore,
                    cfg: CrawlConfig) -> None:
     """Between-epoch table maintenance: compact every non-meta-pinned table
     above the file target, then expire old snapshots. Storage-layer only —
-    identical crawl results with or without it (loop-parity-tested)."""
+    identical crawl results with or without it (loop-parity-tested).
+
+    ``url_seen`` is maintained BUCKETED (key-hash file-sets) when
+    ``cfg.useen_n_buckets`` > 0: per-epoch appends are absorbed into their
+    buckets incrementally, which keeps the TTL-recrawl forget
+    (operators.recrawl.forget_urls) a bucket-scoped DELETE instead of an
+    O(table) rewrite — the difference that matters at 10^10 seen rows."""
     for name in sorted(store.snapshot().tables):
+        if name == "url_seen" and cfg.useen_n_buckets > 0:
+            store.compact_bucketed(spark, name, key="url_hash",
+                                   n_buckets=cfg.useen_n_buckets)
+            continue
         try:
             store.compact(spark, name, target_files=cfg.compact_target_files,
                           small_file_bytes=cfg.compact_small_file_bytes)

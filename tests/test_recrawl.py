@@ -121,3 +121,93 @@ def test_refresh_crawl_refetches_forgotten(drained, spark):
                    store.read(spark, "url_seen").select("url_hash").collect()}
     assert {r["url_hash"] for r in last.select("url_hash").collect()
             } <= seen_hashes
+
+
+def test_bucketed_forget_rewrites_only_touched_buckets(spark, tmp_path):
+    """When url_seen is key-hash bucketed, forget_urls must do a
+    bucket-scoped DELETE: untouched buckets keep their exact file paths,
+    targets are gone, everything else survives."""
+    from crawlspark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "st"))
+    seen = spark.range(400).select(
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 13).alias("host_hash"),
+        F.lit(0).cast("int").alias("first_seen_epoch"),
+        F.lit(1).cast("int").alias("first_seen_priority"))
+    store.commit(0, appends={"url_seen": store.stage(seen, "url_seen")})
+    assert store.compact_bucketed(spark, "url_seen", key="url_hash",
+                                  n_buckets=8) > 0
+    # loose append after bucketing (the per-epoch url_seen append shape)
+    extra = spark.range(400, 430).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 13).alias("host_hash"),
+        F.lit(1).cast("int").alias("first_seen_epoch"),
+        F.lit(1).cast("int").alias("first_seen_priority"))
+    store.commit(1, appends={"url_seen": store.stage(extra, "url_seen")},
+                 meta=store.snapshot().meta)
+
+    # targets: 5 keys that land in a known subset of buckets, plus one from
+    # the loose slice
+    targets = spark.createDataFrame(
+        [(7,), (15,), (23,), (31,), (405,)], "url_hash long")
+    tgt_buckets = {int(r["_b"]) for r in targets.select(
+        F.pmod(F.xxhash64("url_hash"), F.lit(8)).cast("int").alias("_b"))
+        .distinct().collect()}
+    before = store.snapshot()
+    before_map = before.meta["merge_buckets"]["url_seen"]
+
+    cfg = CrawlConfig(use_bloom=False)
+    n = recrawl.forget_urls(spark, store, cfg, targets, epoch=2)
+    assert n == 5
+
+    after = store.snapshot()
+    after_map = after.meta["merge_buckets"]["url_seen"]
+    for b in range(8):
+        if b in tgt_buckets:
+            assert after_map[str(b)] != before_map[str(b)]
+        else:
+            # untouched bucket: exact same file paths survive the commit
+            assert after_map[str(b)] == before_map[str(b)]
+    got = store.read(spark, "url_seen")
+    assert got.count() == 430 - 5
+    assert got.filter(F.col("url_hash").isin(7, 15, 23, 31, 405)).count() == 0
+    # the bucket map stays consistent: scoped reads via the map see all rows
+    mapped = {f for fs in after_map.values() for f in fs}
+    assert mapped <= set(after.tables["url_seen"])
+
+
+def test_loop_with_bucketed_maintenance_and_ttl_recrawl(spark, tmp_path):
+    """The production wiring end-to-end: the crawl loop maintains url_seen
+    bucketed (compact_every) AND runs TTL recrawl passes (recrawl_every), so
+    forget_urls takes the bucket-scoped path against a live bucket map. The
+    store must stay self-consistent throughout: the bucket map references
+    only live files, url_seen rows stay unique per url_hash, and recrawl
+    actually re-fetches (crawl_log grows a second terminal row for
+    forgotten urls)."""
+    from tests.crawl_fixtures import SMALL, init_store, write_fixtures
+
+    tmp = tmp_path / "fx"
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp), str(tmp_path / "st"))
+    images = spark.read.parquet(str(tmp / "image_caption.parquet"))
+    cfg = CrawlConfig(batch_size=80, n_filter_buckets=8,
+                      compact_every=2, useen_n_buckets=4,
+                      recrawl_every=4, recrawl_ttl_epochs=2,
+                      recrawl_topk=25)
+    run_crawl(spark, store, images, cfg, max_epochs=24)
+
+    snap = store.snapshot()
+    seen = store.read(spark, "url_seen")
+    # uniqueness survived forget+re-crawl cycles
+    assert seen.count() == seen.select("url_hash").distinct().count()
+    # bucket map consistent with the manifest after interleaved
+    # compact_bucketed (maintenance) and scoped deletes (recrawl)
+    bmap = snap.meta.get("merge_buckets", {}).get("url_seen")
+    assert bmap is not None, "maintenance never bucketed url_seen"
+    mapped = {f for fs in bmap.values() for f in fs}
+    assert mapped <= set(snap.tables["url_seen"])
+    # TTL refresh really re-fetched: some url has >1 terminal log row
+    log = store.read(spark, "crawl_log")
+    refetched = (log.filter(F.col("status").isin(*TERMINAL))
+                 .groupBy("url_hash").count().filter(F.col("count") > 1))
+    assert refetched.count() > 0
