@@ -224,25 +224,32 @@ def _skipping_section() -> str:
         return ""
     with open(p) as fh:
         m = json.load(fh)
+    runs = m.get("runs", [m] if "n_epochs" in m else [])
+    if not runs:
+        return ""
+    rows = "\n".join(
+        f"| {r['n_epochs']:,} | {r['files_full']:,} | {r['wall_full_s']} | "
+        f"**{r['files_pruned']}** | **{r['wall_pruned_s']}** | "
+        f"{r['speedup']}x |"
+        for r in runs)
     return f"""
 ## Manifest-stats file skipping (tools/bench_skipping.py)
 
-Measured {m['ts']}: {m['n_epochs']} single-epoch crawl_log commits of
-{m['rows_per_epoch']:,} rows; a trailing {m['window_epochs']}-epoch window
-read (prune via per-file [min,max] epoch bounds recorded in the commit
-manifest at stage time, then the identical row filter):
+Single-epoch crawl_log commits of {runs[-1]['rows_per_epoch']:,} rows; a
+trailing {runs[-1]['window_epochs']}-epoch window read (prune via per-file
+[min,max] epoch bounds recorded in the commit manifest at stage time, then
+the identical row filter), at growing history sizes:
 
-| | files opened | wall (s) |
-|---|---|---|
-| full scan + filter | {m['files_full']} | {m['wall_full_s']} |
-| manifest prune + filter | **{m['files_pruned']}** | **{m['wall_pruned_s']}** |
+| epochs of history | files (full) | wall full (s) | files (pruned) | wall pruned (s) | speedup |
+|---|---|---|---|---|---|
+{rows}
 
-{m['speedup']}x at {m['n_epochs']} epochs on warm local files; the win is
-O(history/window) — at 10^5 epochs the unpruned scan pays 10^4x the file
-opens (plus driver listing + task scheduling + object-store GETs a real
-cluster adds), while the pruned read stays O(window files). Results are
-identical by construction (prune is scan planning; the row filter still
-runs — tests/test_file_skipping.py).
+The pruned wall is FLAT in history size while the full scan grows with it
+— O(window files) vs O(history), which at 10^5 epochs is the difference
+between a bounded maintenance query and opening 10^5 files (plus driver
+listing + task scheduling + object-store GETs a real cluster adds).
+Results are identical by construction (prune is scan planning; the row
+filter still runs — tests/test_file_skipping.py).
 """
 
 

@@ -72,8 +72,18 @@ def main(n_epochs: int = 200, rows_per_epoch: int = 20_000) -> None:
             "speedup": round(full_s / pruned_s, 2),
         }
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(repo, "SKIP_BENCH.json"), "w") as fh:
-            json.dump(out, fh, indent=2)
+        path = os.path.join(repo, "SKIP_BENCH.json")
+        runs = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                prev = json.load(fh)
+            runs = prev.get("runs", [prev] if "n_epochs" in prev else [])
+        # one row per history size — the cross-size view is the point
+        # (pruned wall stays flat while the full scan grows with history)
+        runs = [r for r in runs if r["n_epochs"] != n_epochs] + [out]
+        runs.sort(key=lambda r: r["n_epochs"])
+        with open(path, "w") as fh:
+            json.dump({"runs": runs}, fh, indent=2)
         print(json.dumps(out))
         from tools.bench_scaling import load_runs, write_bench_md
         write_bench_md(load_runs())
