@@ -110,10 +110,18 @@ def maintain_store(spark: SparkSession, store: SnapshotStore,
     buckets incrementally, which keeps the TTL-recrawl forget
     (operators.recrawl.forget_urls) a bucket-scoped DELETE instead of an
     O(table) rewrite — the difference that matters at 10^10 seen rows."""
-    for name in sorted(store.snapshot().tables):
+    snap = store.snapshot()
+    for name in sorted(snap.tables):
         if name == "url_seen" and cfg.useen_n_buckets > 0:
-            store.compact_bucketed(spark, name, key="url_hash",
-                                   n_buckets=cfg.useen_n_buckets)
+            # first pass records the bucket spec; later passes defer to the
+            # recorded one so a cfg change across resume can never crash the
+            # loop on a spec mismatch (re-bucketing is an explicit offline
+            # operation, not something maintenance does implicitly)
+            if snap.meta.get("bucket_spec", {}).get(name):
+                store.compact_bucketed(spark, name)
+            else:
+                store.compact_bucketed(spark, name, key="url_hash",
+                                       n_buckets=cfg.useen_n_buckets)
             continue
         try:
             store.compact(spark, name, target_files=cfg.compact_target_files,

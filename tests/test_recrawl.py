@@ -211,3 +211,32 @@ def test_loop_with_bucketed_maintenance_and_ttl_recrawl(spark, tmp_path):
     refetched = (log.filter(F.col("status").isin(*TERMINAL))
                  .groupBy("url_hash").count().filter(F.col("count") > 1))
     assert refetched.count() > 0
+
+
+def test_maintenance_survives_bucket_count_change_across_resume(
+        spark, tmp_path):
+    """A cfg.useen_n_buckets change across resume must not crash
+    maintenance: once a bucket spec is recorded, maintenance defers to it
+    (re-bucketing is an explicit offline operation)."""
+    from crawlspark.plans.crawler import maintain_store
+    from crawlspark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "st"))
+    seen = spark.range(100).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 7).alias("host_hash"),
+        F.lit(0).cast("int").alias("first_seen_epoch"),
+        F.lit(1).cast("int").alias("first_seen_priority"))
+    store.commit(0, appends={"url_seen": store.stage(seen, "url_seen")})
+    maintain_store(spark, store, CrawlConfig(useen_n_buckets=4))
+    assert store.snapshot().meta["bucket_spec"]["url_seen"]["n"] == 4
+    # resumed run with a DIFFERENT configured bucket count: no crash, the
+    # recorded spec wins
+    extra = spark.range(100, 120).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 7).alias("host_hash"),
+        F.lit(1).cast("int").alias("first_seen_epoch"),
+        F.lit(1).cast("int").alias("first_seen_priority"))
+    store.commit(1, appends={"url_seen": store.stage(extra, "url_seen")},
+                 meta=store.snapshot().meta)
+    maintain_store(spark, store, CrawlConfig(useen_n_buckets=32))
+    assert store.snapshot().meta["bucket_spec"]["url_seen"]["n"] == 4
+    assert store.read(spark, "url_seen").count() == 120
