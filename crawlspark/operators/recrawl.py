@@ -74,6 +74,12 @@ def forget_urls(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
         # what makes TTL recrawl viable against a 10^10-row seen set
         import os
         key_col, n_b = spec["key"], int(spec["n"])
+        # mirror compact_bucketed/read(): if url_seen's live files span >1
+        # recorded schema fingerprint, a plain read takes the FIRST footer's
+        # schema and the rewrite would silently drop newer columns from the
+        # rewritten buckets — union schemas exactly when evolution happened
+        reader = (spark.read.option("mergeSchema", "true")
+                  if store.schema_variants("url_seen") > 1 else spark.read)
         bucket_of = F.pmod(F.xxhash64(F.col(key_col)),
                            F.lit(n_b)).cast("int")
         touched = sorted({int(r["_b"]) for r in
@@ -84,13 +90,13 @@ def forget_urls(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
             bfiles = bucket_map.get(str(b), [])
             if not bfiles:
                 continue
-            bdf = spark.read.parquet(
+            bdf = reader.parquet(
                 *[os.path.join(store.root, f) for f in bfiles])
             new_map[str(b)] = store.stage(
                 bdf.join(keys, "url_hash", "left_anti"), "url_seen")
         new_loose: list[str] = []
         if loose:
-            ldf = spark.read.parquet(
+            ldf = reader.parquet(
                 *[os.path.join(store.root, f) for f in loose])
             new_loose = store.stage(
                 ldf.join(keys, "url_hash", "left_anti"), "url_seen")
@@ -144,16 +150,45 @@ def stale_targets(spark: SparkSession, store: SnapshotStore,
     ``last_crawled_at`` ASC with a LIMIT,
     /root/reference/src/infrastructure/database.py). A max-per-key
     aggregate (map-side partial) + TakeOrderedAndProject — no global sort
-    of the log at scale."""
-    log = store.read(spark, "crawl_log")
+    of the log at scale.
+
+    Manifest-stats windowing: a url's staleness needs its per-url max
+    terminal epoch, which no single epoch window can answer — but it
+    decomposes into two windowed scans over the epoch-bounded crawl_log
+    files (``stage(stats_cols=("epoch",))`` at epoch.py commit time):
+
+    * candidates — urls with a terminal row at ``epoch <= bound`` can only
+      have such rows in files whose min epoch ``<= bound``; the max-per-key
+      aggregate runs on THAT window only, and any url whose in-window max
+      lands above the bound (straddling file) is filtered out row-wise;
+    * exclusions — urls terminally crawled SINCE the bound appear in files
+      whose max epoch ``> bound``; on a long-history store this window is
+      O(ttl) files, and it is only projected to a distinct key set for the
+      anti-join, never aggregated.
+
+    Net: identical result to the full-log aggregate (pruning is purely an
+    optimization; un-bounded pre-feature files stay in both windows), but
+    the heavy per-url aggregate never touches files that cannot hold
+    in-window rows, and nothing reads the whole log twice."""
     url_seen = store.read(spark, "url_seen")
-    if log is None or url_seen is None:
+    if not store.files("crawl_log") or url_seen is None:
         return None
-    last = (log.filter(F.col("status").isin(*_TERMINAL_OK))
+    bound = epoch - cfg.recrawl_ttl_epochs
+    old = store.read(spark, "crawl_log", where=("epoch", None, bound))
+    if old is None:
+        # no file can hold a row at or below the bound -> nothing is stale
+        return spark.createDataFrame([], "url_hash bigint")
+    last = (old.filter(F.col("status").isin(*_TERMINAL_OK))
             .groupBy("url_hash")
             .agg(F.max("epoch").alias("last_crawl_epoch")))
-    stale = last.filter(
-        F.col("last_crawl_epoch") <= F.lit(epoch - cfg.recrawl_ttl_epochs))
+    stale = last.filter(F.col("last_crawl_epoch") <= F.lit(bound))
+    recent = store.read(spark, "crawl_log", where=("epoch", bound + 1, None))
+    if recent is not None:
+        stale = stale.join(
+            recent.filter(F.col("status").isin(*_TERMINAL_OK)
+                          & (F.col("epoch") > F.lit(bound)))
+            .select("url_hash"),
+            "url_hash", "left_anti")
     # only currently-seen URLs: a URL forgotten by an earlier pass but not
     # yet re-crawled still has its old terminal log row — selecting it again
     # would double-bump the remaining counters for a single frontier row

@@ -99,6 +99,55 @@ def broaden_frontier(spark: SparkSession, store: SnapshotStore,
               "fallback_added": True})
 
 
+def compact_frontier_strata(spark: SparkSession, store: SnapshotStore,
+                            target_files: int = 1) -> int:
+    """Compact the frontier WITHIN each priority's pinned file list and
+    rewrite the meta pin atomically (VERDICT r4 #6). The frontier's
+    file-level partition pruning (``frontier_files_by_priority``) grows by
+    one file set per discovery batch / broadening — a long-running ingest
+    stream would put O(batches) files behind every epoch's pop scan, and
+    generic compaction rightly refuses meta-pinned tables (the rewritten
+    paths would dangle). Here each oversized stratum is rewritten into
+    ``target_files`` files re-clustered by (host, seq) — the same layout
+    init_run/broaden_frontier stage — and the table file list AND the pin
+    map are swapped in ONE commit, so no snapshot ever sees them disagree.
+    Strata at or under the target keep their exact files (incremental, like
+    bin-pack). Returns the number of files compacted away."""
+    snap = store.snapshot()
+    files_by_p = {k: list(v) for k, v in
+                  snap.meta.get("frontier_files_by_priority", {}).items()}
+    if not files_by_p:
+        return 0
+    import os
+    evolved = store.schema_variants("frontier") > 1
+    reader = (spark.read.option("mergeSchema", "true") if evolved
+              else spark.read)
+    absorbed = 0
+    new_map: dict[str, list[str]] = {}
+    for p in sorted(files_by_p, key=int):
+        fs = files_by_p[p]
+        if len(fs) <= target_files:
+            new_map[p] = fs
+            continue
+        df = (reader.parquet(*[os.path.join(store.root, f) for f in fs])
+              .repartition(target_files)
+              .sortWithinPartitions("host", "seq"))
+        new_map[p] = store.stage(df, "frontier")
+        absorbed += len(fs)
+    if not absorbed:
+        return 0
+    pinned_before = {f for fs in files_by_p.values() for f in fs}
+    # preserve any frontier files outside the pin map (there are none in the
+    # current writers, but a foreign append must survive maintenance)
+    unpinned = [f for f in snap.tables.get("frontier", [])
+                if f not in pinned_before]
+    ordered = [f for p in sorted(new_map, key=int)
+               for f in new_map[p]] + unpinned
+    store.commit(epoch=snap.epoch, replaces={"frontier": ordered},
+                 meta={**snap.meta, "frontier_files_by_priority": new_map})
+    return absorbed
+
+
 def maintain_store(spark: SparkSession, store: SnapshotStore,
                    cfg: CrawlConfig) -> None:
     """Between-epoch table maintenance: compact every non-meta-pinned table
@@ -123,11 +172,20 @@ def maintain_store(spark: SparkSession, store: SnapshotStore,
                 store.compact_bucketed(spark, name, key="url_hash",
                                        n_buckets=cfg.useen_n_buckets)
             continue
+        if (name == "frontier"
+                and snap.meta.get("frontier_files_by_priority")):
+            # meta-pinned stratum files need the pin-aware path: compact
+            # within each priority's list and rewrite the pin in the same
+            # commit (a long-running discovery stream otherwise grows the
+            # pop scan by one file set per batch)
+            compact_frontier_strata(
+                spark, store, target_files=cfg.compact_target_files)
+            continue
         try:
             store.compact(spark, name, target_files=cfg.compact_target_files,
                           small_file_bytes=cfg.compact_small_file_bytes)
         except ValueError:
-            continue   # meta-pinned stratum files (frontier) stay as-is
+            continue   # other meta-pinned tables stay as-is
     store.vacuum(keep_last=cfg.vacuum_keep_last)
 
 

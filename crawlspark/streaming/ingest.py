@@ -101,6 +101,19 @@ def fold_batch(spark: SparkSession, store: SnapshotStore,
         done = int(store.snapshot().meta.get("discovery_cursors", {})
                    .get(cursor_tag, -1))
         if batch_id <= done:
+            if batch_id + 1 < done:
+                # crash-replay re-delivers only the LAST committed batch;
+                # a batch id far below the cursor means the cursor tag is
+                # being reused across query lineages (e.g. a wiped
+                # checkpoint dir with a path-based tag) — skipping here
+                # would silently drop new discoveries
+                import warnings
+                warnings.warn(
+                    f"fold_batch: batch_id {batch_id} is far below cursor "
+                    f"{done} for tag {cursor_tag!r} — possible reused "
+                    "cursor tag across query lineages; refusing to treat "
+                    "as replay would double-fold, so skipping, but audit "
+                    "discovery_cursors if this tag's checkpoint was wiped")
             return
     if batch_df.isEmpty():
         return
@@ -153,6 +166,24 @@ def fold_batch(spark: SparkSession, store: SnapshotStore,
     batch.unpersist()
 
 
+def lineage_tag(checkpoint_dir: str) -> str:
+    """Cursor tag for THIS query lineage: Structured Streaming stamps
+    ``<checkpoint>/metadata`` with a fresh query id when (and only when) the
+    checkpoint dir is new, so a wiped-and-recreated dir gets a NEW id and its
+    batch ids restarting at 0 can never be skipped by the old lineage's
+    cursor (that cursor lives under the old id) — the same txnAppId scoping
+    Delta's idempotent-writes doc prescribes for foreachBatch sinks. Falls
+    back to the absolute path only if the metadata file is unreadable (the
+    pre-start window; foreachBatch bodies always run after it exists)."""
+    import json
+    import os
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return "qid:" + str(json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return os.path.abspath(checkpoint_dir)
+
+
 def fold_into_frontier(spark: SparkSession, stream: DataFrame,
                        store: SnapshotStore, checkpoint_dir: str):
     """foreachBatch sink: per micro-batch, supersede-dedup within the batch,
@@ -160,11 +191,12 @@ def fold_into_frontier(spark: SparkSession, stream: DataFrame,
     stratum files and bump the remaining counters — one atomic snapshot
     commit per micro-batch, resumable like any epoch and exactly-once under
     foreachBatch replay (see :func:`fold_batch`)."""
-    import os
-    tag = os.path.abspath(checkpoint_dir)
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch(spark, store, batch_df, batch_id, cursor_tag=tag)
+        # resolved per batch, not at wiring time: the query id file is
+        # written by .start(), after this function returns
+        fold_batch(spark, store, batch_df, batch_id,
+                   cursor_tag=lineage_tag(checkpoint_dir))
 
     return (stream.writeStream
             .foreachBatch(_fold)

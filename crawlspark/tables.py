@@ -72,6 +72,18 @@ def _schema_sig(schema) -> str:
     return hashlib.md5(blob.encode()).hexdigest()[:12]
 
 
+def _needs_merge_schema(sigs: "list[str | None]") -> bool:
+    """Whether a set of files must be read with mergeSchema, from their
+    recorded schema fingerprints (None = pre-feature file, fingerprint
+    unknown). {None, sig} is NOT evidence of two schemas — discarding None
+    keeps the single-footer fast path for tables with pre-feature files —
+    but a lone unknown among known-identical sigs still forces the merge:
+    unknown means unknown, not same. All-unknown reverts to the plain read
+    (the pre-feature behavior)."""
+    known = {s for s in sigs if s is not None}
+    return len(known) > 1 or (len(known) == 1 and any(s is None for s in sigs))
+
+
 def _file_stats(path: str, cols: tuple | list) -> dict:
     """Min/max per requested numeric column from the parquet footer (row
     group statistics — already computed by the writer, so collection is one
@@ -218,6 +230,11 @@ class SnapshotStore:
         for f in list(self._pending_stats):
             if f in live:
                 stats[f] = self._pending_stats.pop(f)
+            elif not os.path.exists(os.path.join(self.root, f)):
+                # staged file vanished without ever being referenced (vacuumed
+                # orphan / external delete) — its bounds can never be adopted,
+                # so keeping the entry is a slow driver-memory leak
+                del self._pending_stats[f]
         cid = cur.commit_id + 1
         payload = {"commit_id": cid, "epoch": epoch, "tables": tables,
                    "meta": meta or {}, "stats": stats}
@@ -278,10 +295,9 @@ class SnapshotStore:
                 f"table {name!r} has file paths referenced in snapshot meta "
                 "(file-level partition pruning); compact it per partition, "
                 "not wholesale")
-        absorb_sigs = {snap.stats.get(r, {}).get("__schema__")
-                       for r in absorb}
+        raw_sigs = [snap.stats.get(r, {}).get("__schema__") for r in absorb]
         reader = (spark.read.option("mergeSchema", "true")
-                  if len(absorb_sigs) > 1 else spark.read)
+                  if _needs_merge_schema(raw_sigs) else spark.read)
         df = reader.parquet(*[os.path.join(self.root, r) for r in absorb])
         df = df.repartition(target_files)
         if sort_cols:
@@ -418,6 +434,13 @@ class SnapshotStore:
         for cid in ids:
             if cid not in keep_ids:
                 os.remove(self._commit_path(cid))
+        # pending-stats entries follow their files: a staged-but-never-
+        # committed file just reclaimed above (or removed by any earlier
+        # means) must not leave its bounds entry behind, or a long-lived
+        # store instance leaks driver memory one orphan at a time
+        for rel in list(self._pending_stats):
+            if not os.path.exists(os.path.join(self.root, rel)):
+                del self._pending_stats[rel]
         return deleted
 
     # -- read ---------------------------------------------------------------

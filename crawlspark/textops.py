@@ -459,7 +459,14 @@ WITH cents AS (
 ), lists AS (
   SELECT vec_id, label, embedding, cid FROM assign WHERE rnk = 1
 ), probe AS (
-  SELECT cid FROM lists WHERE vec_id = 0
+  -- the query's top-4 centroids by similarity (nprobe=4, the defensible
+  -- default operating point: recall@10 ~0.6 vs 0.2 at nprobe=1 for ~6% of
+  -- the data scanned — IVF_RECALL.json)
+  SELECT c.cid
+  FROM cents c
+  ORDER BY list_cosine_similarity(
+    (SELECT embedding FROM embeddings WHERE vec_id = 0), c.cemb) DESC, c.cid
+  LIMIT 4
 )
 SELECT l.vec_id, l.label,
        round(list_cosine_similarity(
@@ -469,7 +476,7 @@ FROM lists l JOIN probe p ON l.cid = p.cid
 WHERE l.vec_id != 0
 ORDER BY cos_sim DESC, l.vec_id ASC LIMIT 10
 """)
-def ann_ivf(spark, sf, nprobe: int = 1):
+def ann_ivf(spark, sf, nprobe: int = 4):
     """IVF approximate nearest neighbor: a deterministic coarse quantizer
     (every 64th vector is a centroid) assigns vectors to inverted lists; the
     query probes its ``nprobe`` nearest lists and brute-force-scores there.
@@ -481,8 +488,12 @@ def ann_ivf(spark, sf, nprobe: int = 1):
     ~nprobe/C of the data where brute force reads all of it (ann_bruteforce
     is the exact baseline). ``nprobe`` is the operator's real API: the
     recall/cost curve (measured in BENCH.md via tools/bench_ivf_recall.py —
-    recall@10 is monotone in nprobe, asserted in tests/test_ivf_recall.py);
-    the registered driver query pins nprobe=1, the oracle's contract."""
+    recall@10 is monotone in nprobe, asserted in tests/test_ivf_recall.py).
+    The registered driver query and its oracle run nprobe=4, the defensible
+    default operating point on the measured curve (IVF_RECALL.json:
+    recall@10 ~3x nprobe=1's for ~6% of the data scanned); nprobe=1 — the
+    prior contract — is the degenerate probe-own-list corner, kept
+    reachable via the parameter (VERDICT r4 #7)."""
     e = (_t(spark, sf, "embeddings")
          .select("vec_id", "label",
                  F.col("embedding").cast("array<double>").alias("emb")))
@@ -548,12 +559,15 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       len(toks) AS n_tokens,
-       len(rx) AS n_rx_tokens,
-       list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
-         AS n_bpe_units,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(rx) AS BIGINT) AS n_rx_tokens,
+       -- CAST the sum itself: DuckDB's list_sum over BIGINT returns HUGEINT,
+       -- which surfaces as decimal128(38,0) over Arrow and hash-mismatches
+       -- Spark's int64 even when every value is equal (r4 red-row root cause)
+       CAST(list_sum(list_transform(toks, w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))
+         AS BIGINT) AS n_bpe_units,
        n_chars,
-       len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+       CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop,
        CAST(floor(len(list_filter(toks, x -> x IN ('the', 'a'))) * 10000.0
                   / len(toks)) AS BIGINT) AS stop_bp,
        CAST(floor(n_chars * 100.0 / len(toks)) AS BIGINT) AS avg_wordlen_x100
@@ -573,8 +587,11 @@ def quality_score(spark, sf):
                  # (measured 2.6x faster cold at sf0.1, identical values)
                  F.regexp_count(F.col("text"), F.lit(_TOK_RE)).cast("long")
                  .alias("n_rx")))
-    n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a")))
-    n_tok = F.size("toks")
+    # .cast("long") on every size() output: DuckDB len() is BIGINT, Spark
+    # size() is int32 — keep both engines int64 so the driver's value hash
+    # never sees a width difference (r4's one red row was exactly this class)
+    n_stop = F.size(F.filter("toks", lambda x: x.isin("the", "a"))).cast("long")
+    n_tok = F.size("toks").cast("long")
     bpe = F.aggregate(
         F.transform("toks", lambda w: F.ceil(F.length(w) / 4.0).cast("long")),
         F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -180,3 +180,50 @@ def test_vacuum_reclaims_crashed_stage_dirs(spark, appended_store):
     assert "log/.stage-deadbeef" in deleted
     assert not os.path.exists(crashed)
     assert store.read(spark, "log").count() == 500   # live table intact
+
+
+def test_vacuum_and_commit_purge_orphaned_pending_stats(spark, appended_store):
+    """Bounds entries staged for files that never get committed must not
+    accumulate in the driver forever: vacuum purges entries for the orphan
+    files it reclaims, and commit purges entries whose files vanished by any
+    other means (ADVICE r4: unbounded driver-memory leak in a long-lived
+    store instance)."""
+    store = appended_store
+    orphan = store.stage(spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("host_hash")), "log",
+        stats_cols=["id"])
+    assert orphan[0] in store._pending_stats
+    store.vacuum(keep_last=len(store.commits()))     # reclaims the orphan file
+    assert orphan[0] not in store._pending_stats
+
+    # commit-path purge: the staged file vanishes externally, the next commit
+    # (which never references it) must drop its pending entry
+    gone = store.stage(spark.range(5).select(
+        F.col("id"), (F.col("id") % 3).alias("host_hash")), "log")
+    os.remove(os.path.join(store.root, gone[0]))
+    store.commit(epoch=99, meta=store.snapshot().meta)
+    assert gone[0] not in store._pending_stats
+
+    # a staged file still on disk awaiting its commit is NOT purged
+    pending = store.stage(spark.range(5).select(
+        F.col("id"), (F.col("id") % 3).alias("host_hash")), "log")
+    store.commit(epoch=100, meta=store.snapshot().meta)
+    assert pending[0] in store._pending_stats
+    store.commit(epoch=101, appends={"log": pending},
+                 meta=store.snapshot().meta)
+    assert pending[0] not in store._pending_stats    # adopted, not leaked
+
+
+def test_needs_merge_schema_decision():
+    """{None, sig} is not evidence of two schemas (pre-feature files keep
+    the single-footer fast path), but a lone unknown among known sigs still
+    forces the merge, and all-unknown reverts to the plain read."""
+    from crawlspark.tables import _needs_merge_schema
+
+    assert not _needs_merge_schema([])
+    assert not _needs_merge_schema([None, None])          # pre-feature table
+    assert not _needs_merge_schema(["a", "a", "a"])       # homogeneous
+    assert _needs_merge_schema([None, "a", "a"])          # unknown != same
+    assert _needs_merge_schema([None, "a"])
+    assert _needs_merge_schema(["a", "b"])                # evolved
+    assert _needs_merge_schema([None, "a", "b"])

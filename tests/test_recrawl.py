@@ -240,3 +240,116 @@ def test_maintenance_survives_bucket_count_change_across_resume(
     maintain_store(spark, store, CrawlConfig(useen_n_buckets=32))
     assert store.snapshot().meta["bucket_spec"]["url_seen"]["n"] == 4
     assert store.read(spark, "url_seen").count() == 120
+
+
+def test_bucketed_forget_preserves_evolved_schema(spark, tmp_path):
+    """If url_seen's live files span >1 schema fingerprint (schema
+    evolution), the bucket-scoped DELETE must union schemas when rewriting —
+    a plain read would take the first footer's schema and silently drop the
+    newer column from every rewritten file (ADVICE r4)."""
+    from crawlspark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "st"))
+    v1 = spark.range(100).select(
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 7).alias("host_hash"),
+        F.lit(0).cast("int").alias("first_seen_epoch"),
+        F.lit(1).cast("int").alias("first_seen_priority"))
+    store.commit(0, appends={"url_seen": store.stage(v1, "url_seen")})
+    assert store.compact_bucketed(spark, "url_seen", key="url_hash",
+                                  n_buckets=4) > 0
+    # evolved loose append: a new column the bucketed files lack
+    v2 = spark.range(100, 130).select(
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 7).alias("host_hash"),
+        F.lit(5).cast("int").alias("first_seen_epoch"),
+        F.lit(2).cast("int").alias("first_seen_priority"),
+        F.concat(F.lit("src-"), F.col("id").cast("string")).alias("source"))
+    store.commit(1, appends={"url_seen": store.stage(v2, "url_seen")},
+                 meta=store.snapshot().meta)
+    assert store.schema_variants("url_seen") > 1
+
+    # targets hit bucketed files AND the evolved loose file
+    targets = spark.createDataFrame([(3,), (41,), (105,)], "url_hash long")
+    cfg = CrawlConfig(use_bloom=False)
+    assert recrawl.forget_urls(spark, store, cfg, targets, epoch=2) == 3
+
+    got = store.read(spark, "url_seen")
+    assert "source" in got.columns            # evolved column survived
+    assert got.count() == 130 - 3
+    kept_v2 = got.filter(F.col("url_hash") >= 100)
+    assert kept_v2.count() == 29
+    # the rewritten loose slice kept its values, not nulls
+    assert kept_v2.filter(F.col("source").isNull()).count() == 0
+    assert (got.filter(F.col("url_hash") < 100)
+            .filter(F.col("source").isNotNull()).count() == 0)
+
+
+def test_stale_targets_windows_the_log_scan(spark, tmp_path, monkeypatch):
+    """On a long-history store the stale-candidate aggregate must run on the
+    old-epoch file window only (manifest epoch bounds), with the recent
+    window touched just for the exclusion key set — and the result must be
+    identical to a brute-force full-log computation, including urls whose
+    old terminal row is superseded by a recent one (VERDICT r4 #5)."""
+    from crawlspark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "st"))
+    n_urls, n_epochs = 60, 20
+    # url u is terminally crawled at every epoch e where e % (u % 7 + 2) == 0
+    # -> varied per-url last-crawl epochs across the history
+    rows = []
+    for e in range(n_epochs):
+        for u in range(n_urls):
+            if e % (u % 7 + 2) == 0:
+                rows.append((u, u % 11, e,
+                             "ok" if (u + e) % 5 else "invalid_payload"))
+            elif (u + e) % 13 == 0:
+                rows.append((u, u % 11, e, "retry"))   # non-terminal noise
+    import pandas as pd
+    pdf = pd.DataFrame(rows, columns=["url_hash", "host_hash", "epoch",
+                                      "status"])
+    for e in range(n_epochs):
+        df = spark.createDataFrame(pdf[pdf["epoch"] == e]).coalesce(1)
+        store.commit(epoch=e, appends={"crawl_log": store.stage(
+            df, "crawl_log", stats_cols=("epoch",))})
+    seen = spark.range(n_urls).select(F.col("id").alias("url_hash"))
+    store.commit(epoch=n_epochs,
+                 appends={"url_seen": store.stage(seen, "url_seen")},
+                 meta={"last_epoch": n_epochs - 1})
+
+    cfg = CrawlConfig(recrawl_ttl_epochs=8, recrawl_topk=15)
+    epoch = n_epochs  # bound = 12
+    bound = epoch - cfg.recrawl_ttl_epochs
+
+    # spy on the where= windows the scan actually requests
+    calls = []
+    real_read = SnapshotStore.read
+
+    def spy(self, spark_, name, commit_id=None, where=None):
+        calls.append((name, where))
+        return real_read(self, spark_, name, commit_id=commit_id, where=where)
+
+    monkeypatch.setattr(SnapshotStore, "read", spy)
+    got = recrawl.stale_targets(spark, store, cfg, epoch).toPandas()
+    wheres = [w for n, w in calls if n == "crawl_log"]
+    assert ("epoch", None, bound) in wheres
+    assert ("epoch", bound + 1, None) in wheres
+    assert (None in wheres) is False          # never a full-log read
+    # and the windows genuinely prune: old window excludes the recent files
+    assert len(store.files("crawl_log", where=("epoch", None, bound))) == \
+        bound + 1
+    assert len(store.files("crawl_log", where=("epoch", bound + 1, None))) \
+        == n_epochs - bound - 1
+
+    # brute force over the FULL log
+    full = pdf[pdf["status"].isin(["ok", "invalid_payload"])]
+    last = full.groupby("url_hash")["epoch"].max()
+    want = last[last <= bound].sort_values().index
+    want_k = set()
+    cur = sorted(((last[u], u) for u in want))[:cfg.recrawl_topk]
+    want_k = [u for _, u in cur]
+    assert sorted(got["url_hash"]) == sorted(want_k)
+
+    # a ttl pushing the bound below epoch 0 yields an EMPTY frame (not None)
+    cfg_hi = CrawlConfig(recrawl_ttl_epochs=10_000, recrawl_topk=5)
+    assert recrawl.stale_targets(spark, store, cfg_hi, epoch).count() == 0

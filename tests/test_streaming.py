@@ -185,3 +185,108 @@ def test_fold_batch_new_lineage_not_skipped_by_old_cursor(
     assert store.read(spark, "frontier").count() > n1
     cur = store.snapshot().meta["discovery_cursors"]
     assert cur == {"ckpt-OLD": 0, "ckpt-NEW": 0}
+
+
+def test_lineage_tag_distinguishes_wiped_checkpoint(tmp_path):
+    """A wiped-and-recreated checkpoint dir is a NEW query lineage whose
+    batch ids restart at 0. With a path-scoped tag the old cursor (e.g. 57)
+    would silently skip batches 0..57 of genuinely new discoveries; the
+    lineage tag reads the query id Structured Streaming stamps into
+    <checkpoint>/metadata, which is fresh per lineage, so the tags differ
+    even at the SAME path (ADVICE r4, medium)."""
+    import json
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "metadata").write_text(json.dumps({"id": "query-aaa"}))
+    tag_old = ingest.lineage_tag(str(ckpt))
+    assert tag_old == "qid:query-aaa"
+
+    # operator wipes the checkpoint and restarts a query at the same path
+    (ckpt / "metadata").unlink()
+    (ckpt / "metadata").write_text(json.dumps({"id": "query-bbb"}))
+    assert ingest.lineage_tag(str(ckpt)) == "qid:query-bbb"
+    assert ingest.lineage_tag(str(ckpt)) != tag_old
+
+    # pre-start fallback: no metadata file yet -> stable path-based tag
+    bare = tmp_path / "bare"
+    bare.mkdir()
+    assert ingest.lineage_tag(str(bare)) == str(bare)
+
+
+def test_fold_batch_warns_when_batch_far_below_cursor(
+        spark, tmp_path_factory, recwarn):
+    """Crash-replay re-delivers only the LAST committed batch; a batch id
+    far below the cursor means a cursor tag reused across lineages — the
+    guard must surface it instead of silently skipping."""
+    tmp = tmp_path_factory.mktemp("warn_fx")
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp),
+                       str(tmp_path_factory.mktemp("warn_store")))
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=321), 5,
+                      cursor_tag="ckpt-W")
+    assert store.snapshot().meta["discovery_cursors"]["ckpt-W"] == 5
+
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=322), 4,
+                      cursor_tag="ckpt-W")          # normal replay: silent
+    assert not [w for w in recwarn.list if "fold_batch" in str(w.message)]
+
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=323), 0,
+                      cursor_tag="ckpt-W")          # far below: warn
+    assert [w for w in recwarn.list if "far below cursor" in str(w.message)]
+
+
+def test_frontier_pin_compaction_bounds_file_growth(spark, tmp_path_factory):
+    """A long-running discovery stream appends one file set per micro-batch
+    per priority, so the pin map (and the pop scan behind every epoch) grows
+    without bound; compact_frontier_strata must rewrite WITHIN each
+    priority's list and swap the pin atomically, keeping file count
+    O(priorities x target_files) across many batches with zero row churn
+    (VERDICT r4 #6)."""
+    from crawlspark.plans.crawler import compact_frontier_strata
+
+    tmp = tmp_path_factory.mktemp("pincompact_fx")
+    write_fixtures(str(tmp), SMALL)
+    store = init_store(spark, str(tmp),
+                       str(tmp_path_factory.mktemp("pincompact_store")))
+
+    n_batches = 6
+    for b in range(n_batches):
+        ingest.fold_batch(spark, store, _mini_batch(spark, seed=500 + b), b,
+                          cursor_tag="ckpt-C")
+    snap = store.snapshot()
+    pins = snap.meta["frontier_files_by_priority"]
+    assert max(len(fs) for fs in pins.values()) > 2   # growth happened
+
+    def rows_by_name(df):
+        # column ORDER is presentational (parquet reads are name-addressed;
+        # init and ingest staged different footer orders) — normalize it
+        return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+    pre_rows = rows_by_name(store.read(spark, "frontier"))
+    pre_remaining = snap.meta["remaining_by_priority"]
+
+    absorbed = compact_frontier_strata(spark, store, target_files=1)
+    assert absorbed > 0
+    snap2 = store.snapshot()
+    pins2 = snap2.meta["frontier_files_by_priority"]
+    # bounded: one file per stratum, map and table list agree exactly
+    assert all(len(fs) == 1 for fs in pins2.values())
+    assert [f for p in sorted(pins2, key=int) for f in pins2[p]] == \
+        snap2.tables["frontier"]
+    # storage-layer only: identical rows, untouched counters
+    assert rows_by_name(store.read(spark, "frontier")) == pre_rows
+    assert snap2.meta["remaining_by_priority"] == pre_remaining
+    # idempotent at steady state
+    assert compact_frontier_strata(spark, store, target_files=1) == 0
+
+    # growth resumes, the next maintenance pass re-bounds it
+    for b in range(n_batches, n_batches + 3):
+        ingest.fold_batch(spark, store, _mini_batch(spark, seed=500 + b), b,
+                          cursor_tag="ckpt-C")
+    assert compact_frontier_strata(spark, store, target_files=1) > 0
+    pins3 = store.snapshot().meta["frontier_files_by_priority"]
+    assert all(len(fs) == 1 for fs in pins3.values())
+    # the old files stay readable until vacuum (snapshot isolation), then go
+    store.vacuum(keep_last=1)
+    assert rows_by_name(store.read(spark, "frontier")) != []

@@ -77,12 +77,25 @@ def main(keys=None):
         try:
             res = con.execute(oracles[k])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetch via Arrow, not fetchall(): fetchall() collapses DuckDB's
+            # HUGEINT/DECIMAL to Python int and hides typed-width mismatches
+            # the driver's normalization sees (r4's quality_score red row)
+            dtab = res.fetch_arrow_table()
+            widths = [f"{f.name}:{f.type}" for f in dtab.schema
+                      if "decimal" in str(f.type)]
+            drows = ([tuple(vals) for vals in
+                      zip(*(c.to_pylist() for c in dtab.columns))]
+                     if dtab.num_rows else [])
         except Exception as e:
             print(f"FAIL  {k:<22} duckdb error: {str(e)[:160]}")
             n_fail += 1
             continue
         problems = []
+        if widths:
+            # DuckDB HUGEINT/DECIMAL in the oracle output hash-mismatches
+            # Spark int64 under the driver's typed normalization even when
+            # values are equal — CAST the oracle column to BIGINT.
+            problems.append(f"oracle decimal-typed cols {widths}")
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} != {len(drows)}")
         if sorted(scols) != sorted(dcols):
