@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from crawlspark.operators import bloom
@@ -122,6 +123,7 @@ def test_no_rebuild_below_threshold(spark):
     assert int(out["n_items"].iloc[0]) == 100
 
 
+@pytest.mark.slow
 def test_rebuild_fires_inside_the_real_crawl_loop(spark, tmp_path):
     """End-to-end: a crawl whose single seen-filter bucket outgrows its
     bit-array floor must trigger the fpp rebuild INSIDE run_epoch's commit

@@ -9,6 +9,8 @@ import json
 
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end CLI pipeline drive (minutes)
+
 from crawlspark.__main__ import main
 
 

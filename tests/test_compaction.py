@@ -73,6 +73,7 @@ def test_vacuum_reclaims_crash_orphans(spark, appended_store):
     assert store.read(spark, "log").count() == 500
 
 
+@pytest.mark.slow
 def test_crawl_loop_with_maintenance_is_parity(spark, tmp_path):
     """compact_every inside run_crawl is storage-layer only: a crawl with
     periodic compaction+vacuum produces byte-identical crawl_log/url_seen to

@@ -181,11 +181,13 @@ def cuckoo_run(spark, tmp_path_factory):
                 seen=store.read(spark, "url_seen").toPandas())
 
 
+@pytest.mark.slow
 def test_loop_parity_seen_set(cuckoo_run):
     engine_seen = set(cuckoo_run["seen"]["url_hash"].tolist())
     assert engine_seen == cuckoo_run["oracle"].golden_seen()
 
 
+@pytest.mark.slow
 def test_loop_parity_ordering(cuckoo_run):
     admitted = cuckoo_run["log"][
         cuckoo_run["log"]["admission_idx"].notna()].sort_values(
@@ -196,6 +198,7 @@ def test_loop_parity_ordering(cuckoo_run):
     assert engine_order == cuckoo_run["oracle"].golden_order()
 
 
+@pytest.mark.slow
 def test_loop_rebuild_fired_and_filter_consistent(cuckoo_run, spark):
     """The tiny min_rows floor must have forced at least one in-loop rebuild
     (growing some bucket past the floor), and the final filter must be a
@@ -213,6 +216,7 @@ def test_loop_rebuild_fired_and_filter_consistent(cuckoo_run, spark):
 # ------------------------------------------------------------- forget_urls
 
 @pytest.mark.parametrize("backend", ["cuckoo", "bloom"])
+@pytest.mark.slow
 def test_forget_urls_readmits(spark, tmp_path_factory, backend):
     cfg = CrawlConfig(batch_size=50, n_filter_buckets=8,
                       seen_filter_backend=backend,

@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+pytestmark = pytest.mark.slow  # module-scoped full crawl vs oracle simulator (minutes)
+
 from crawlspark.plans.crawler import run_crawl
 from tests.crawl_fixtures import SMALL, SMALL_CFG, init_store, make_oracle, write_fixtures
 

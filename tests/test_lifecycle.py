@@ -17,6 +17,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+
+pytestmark = pytest.mark.slow  # module-scoped lifecycle crawls incl. broadening (minutes)
 from pyspark.sql import functions as F
 
 from crawlspark import datagen

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # module-scoped drained-crawl property checks (minutes)
+
 from crawlspark import datagen
 from crawlspark.config import CrawlConfig
 from crawlspark.plans.crawler import run_crawl

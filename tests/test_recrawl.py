@@ -44,6 +44,7 @@ def _last_terminal(spark, store):
             .groupBy("url_hash").agg(F.max("epoch").alias("e")))
 
 
+@pytest.mark.slow
 def test_stale_targets_oldest_first_topk(drained, spark):
     store, cfg0 = drained["store"], drained["cfg"]
     last_epoch = int(store.snapshot().meta["last_epoch"])
@@ -63,6 +64,7 @@ def test_stale_targets_oldest_first_topk(drained, spark):
     assert recrawl.stale_targets(spark, store, cfg_hi, last_epoch).count() == 0
 
 
+@pytest.mark.slow
 def test_recrawl_pass_bumps_remaining_and_is_idempotent(drained, spark):
     store, cfg0 = drained["store"], drained["cfg"]
     last_epoch = int(store.snapshot().meta["last_epoch"])
@@ -88,6 +90,7 @@ def test_recrawl_pass_bumps_remaining_and_is_idempotent(drained, spark):
     assert sum(rem2.values()) == sum(rem0.values()) + 50
 
 
+@pytest.mark.slow
 def test_refresh_crawl_refetches_forgotten(drained, spark):
     """Continuing the loop with recrawl_every set re-fetches the forgotten
     URLs through the standard path: new terminal log rows at later epochs,
@@ -176,6 +179,7 @@ def test_bucketed_forget_rewrites_only_touched_buckets(spark, tmp_path):
     assert mapped <= set(after.tables["url_seen"])
 
 
+@pytest.mark.slow
 def test_loop_with_bucketed_maintenance_and_ttl_recrawl(spark, tmp_path):
     """The production wiring end-to-end: the crawl loop maintains url_seen
     bucketed (compact_every) AND runs TTL recrawl passes (recrawl_every), so
@@ -213,6 +217,7 @@ def test_loop_with_bucketed_maintenance_and_ttl_recrawl(spark, tmp_path):
     assert refetched.count() > 0
 
 
+@pytest.mark.slow
 def test_maintenance_survives_bucket_count_change_across_resume(
         spark, tmp_path):
     """A cfg.useen_n_buckets change across resume must not crash

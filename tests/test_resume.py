@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # module-scoped kill/resume crawls (minutes)
+
 from crawlspark.plans.crawler import run_crawl
 from crawlspark.tables import SnapshotStore
 from tests.crawl_fixtures import SMALL, SMALL_CFG, init_store, make_oracle, write_fixtures

@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow  # module-scoped multi-trigger stream + crawl loop (minutes)
+
 from crawlspark import datagen
 from crawlspark.config import CrawlConfig
 from crawlspark.functions.urls import url_hash64
