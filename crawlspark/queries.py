@@ -155,14 +155,22 @@ ORDER BY user_id
 def upsert_merge(spark, sf):
     """S7/S8: batch upsert — MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT,
     emulated as full-outer coalesce (ref: COPY+staging+ON CONFLICT merge,
-    src/infrastructure/database.py:174-271)."""
+    src/infrastructure/database.py:174-271).
+
+    r6: latest-per-user via max(struct(event_id, value)) aggregate instead of
+    a row_number window — map-side partial aggregation collapses each side to
+    one row per user before its shuffle, and both sides come out hash-
+    partitioned on user_id so the full-outer join adds no exchange. Identical
+    result: rn=1 under event_id DESC is the struct maximum (event_id is
+    unique per user — driver-data invariant the window version already
+    relied on for determinism)."""
     ev = _t(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
 
     def latest(df):
-        return (df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("user_id", "event_id", "value"))
+        return (df.groupBy("user_id")
+                .agg(F.max(F.struct("event_id", "value")).alias("_w"))
+                .select("user_id", F.col("_w.event_id").alias("event_id"),
+                        F.col("_w.value").alias("value")))
 
     t = latest(ev.filter(F.col("event_id") < 5000)).alias("t")
     s = latest(ev.filter(F.col("event_id") >= 5000)).alias("s")
@@ -346,13 +354,19 @@ ORDER BY user_id
 """)
 def dedup_seen(spark, sf):
     """J3: first-seen dedup — keep earliest arrival per key
-    (ref: seen_repo_ids in-memory set, github_api.py:548-555)."""
-    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    (ref: seen_repo_ids in-memory set, github_api.py:548-555).
+
+    r6: row_number window -> min(struct(ts, event_id)) AGGREGATE. The window
+    form shuffles and sorts every event row; the aggregate form collapses to
+    one row per user map-side before the shuffle (guide §2.3 "aggregate
+    before you shuffle") and needs no sort. Identical result: rn=1 under
+    (ts ASC, event_id ASC) is exactly the lexicographic struct minimum, and
+    every output column derives from that (ts, event_id) pair."""
     return (_t(spark, sf, "events")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("user_id", "event_id",
-                    F.date_format("ts", TS_US).alias("ts_str"))
+            .groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id")).alias("_w"))
+            .select("user_id", F.col("_w.event_id").alias("event_id"),
+                    F.date_format("_w.ts", TS_US).alias("ts_str"))
             .orderBy("user_id"))
 
 
@@ -385,13 +399,26 @@ GROUP BY c.c_custkey ORDER BY c.c_custkey
 """)
 def mv_stats(spark, sf):
     """J5: materialized-view stats — multi-way LEFT JOIN + COUNT DISTINCT
-    (ref: repository_stats MV, SCHEMA_EVOLUTION.md:209-229)."""
+    (ref: repository_stats MV, SCHEMA_EVOLUTION.md:209-229).
+
+    r6: aggregate orders BEFORE the join (guide §2.3). The r5 plan joined
+    1.5M order rows to customers and ran count-distinct (an Expand doubling
+    the rows) over the joined set; pre-aggregating per o_custkey shuffles
+    ~100k partial-agg rows instead and the join becomes small-vs-small.
+    Identical result: a customer with no orders gets n_orders=0 (COUNT over
+    an all-NULL group) = coalesce(NULL, 0), and count-distinct ignores NULLs
+    in both shapes."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    return (c.join(o, o.o_custkey == c.c_custkey, "left")
-            .groupBy("c_custkey")
-            .agg(F.count("o_orderkey").alias("n_orders"),
-                 F.countDistinct("o_orderstatus").alias("n_status"))
+    agg = (o.groupBy("o_custkey")
+           .agg(F.count("o_orderkey").alias("_n_orders"),
+                F.countDistinct("o_orderstatus").alias("_n_status")))
+    return (c.join(agg, c.c_custkey == agg.o_custkey, "left")
+            .select("c_custkey",
+                    F.coalesce("_n_orders", F.lit(0).cast("long"))
+                    .alias("n_orders"),
+                    F.coalesce("_n_status", F.lit(0).cast("long"))
+                    .alias("n_status"))
             .orderBy("c_custkey"))
 
 
@@ -610,13 +637,21 @@ ORDER BY o_orderpriority ASC, o_orderdate ASC, o_orderkey ASC LIMIT 100
 """)
 def priority_pop(spark, sf):
     """O1: the frontier pop — global (priority, seq) TakeOrderedAndProject
-    (ref: strata processed strictly in order, github_api.py:462,570-581)."""
+    (ref: strata processed strictly in order, github_api.py:462,570-581).
+
+    r6: sort on the RAW o_orderdate (exactly the oracle's ORDER BY) and
+    date_format only the 100 surviving rows — the r5 plan sorted on the
+    formatted string, so every input row paid the formatter before the
+    top-k heap. Same selected set: the oracle itself orders by the raw
+    column, and the fixture's order dates are day-granular so the formatted
+    ordering never disagreed with the raw one."""
     return (_t(spark, sf, "orders")
-            .select("o_orderkey", "o_orderpriority",
-                    F.date_format("o_orderdate", TS).alias("odate"))
-            .orderBy(F.asc("o_orderpriority"), F.asc("odate"),
+            .select("o_orderkey", "o_orderpriority", "o_orderdate")
+            .orderBy(F.asc("o_orderpriority"), F.asc("o_orderdate"),
                      F.asc("o_orderkey"))
-            .limit(100))
+            .limit(100)
+            .select("o_orderkey", "o_orderpriority",
+                    F.date_format("o_orderdate", TS).alias("odate")))
 
 
 @q("latest_per_group", """
@@ -688,8 +723,17 @@ FROM events ORDER BY event_id LIMIT 200
 def scalar_suite(spark, sf):
     """C1-C11 scalar functions in one projection: concat_ws (C3), isoformat
     (C8), length, substring truncation (C9), duration seconds (C11),
-    sanitization replace (C4)."""
+    sanitization replace (C4).
+
+    r6: take the top-200 by event_id FIRST (raw columns only), then run the
+    scalar projection over 200 rows — the r5 plan evaluated every formatter/
+    regex for all input rows below the top-k (Catalyst pushes projections
+    toward the scan, so it will not defer them for you). event_id is unique
+    (driver-data invariant), so the selected set is unchanged; the trailing
+    orderBy re-establishes presentation order."""
     return (_t(spark, sf, "events")
+            .select("event_id", "event_type", "user_id", "ts", "props")
+            .orderBy("event_id").limit(200)
             .select(
                 "event_id",
                 F.concat_ws("/", F.col("event_type"),
@@ -702,4 +746,4 @@ def scalar_suite(spark, sf):
                                     .cast("timestamp"))).alias("secs_since"),
                 F.upper(F.regexp_replace("event_type", "e", "_"))
                 .alias("sanitized"))
-            .orderBy("event_id").limit(200))
+            .orderBy("event_id"))

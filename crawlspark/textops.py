@@ -354,21 +354,18 @@ def dedup_embedding(spark, sf):
     candidates (vs C(500,2)=124k all-pairs). tests/test_plan_shape.py asserts
     no nested-loop join in this plan."""
     e = (_t(spark, sf, "embeddings")
-         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+         # norm hoisted to one fold per row instead of two per candidate
+         # pair (identical value — same fold over the same array)
+         .withColumn("nrm", _hof_norm(F.col("emb"))))
     bucket = None
     for i in range(_EMB_BITS):
         term = F.when(F.element_at("emb", i + 1) > 0,
                       F.lit(1 << i)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     e = e.withColumn("bucket", bucket)
-    dot = F.aggregate(
-        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.col("a.emb"), F.lit(0.0),
-                            lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b.emb"), F.lit(0.0),
-                            lambda acc, x: acc + x * x))
-    cos = dot / (na * nb)
+    cos = (_hof_dot(F.col("a.emb"), F.col("b.emb"))
+           / (F.col("a.nrm") * F.col("b.nrm")))
     # skew-hardened in-bucket pair generation (same discipline as the
     # minhash band join: one giant sign-bucket never lands in one task)
     pairs = _skew_safe_bucket_pairs(e, "bucket", "vec_id")
@@ -388,6 +385,37 @@ QUERIES["dedup_embedding"] = dedup_embedding
 # similarity search
 # =========================================================================
 
+#: Embedding dimensionality — a data contract of the embeddings table (every
+#: row is exactly 64 floats at every scale factor, driver-generated included;
+#: asserted in tests/test_textops_perf.py). Fixing it lets the cosine
+#: arithmetic below unroll into plain codegen'd expressions.
+_EMB_DIM = 64
+
+
+# r6 measured dead end, recorded so it is not retried: unrolling the cosine
+# into 64 element_at terms (to escape the interpreted HOF lambda path) DOES
+# whole-stage-codegen, but the one giant generated method runs ~2.6x SLOWER
+# than the interpreted HOF fold (1.57s vs 0.60s for 62k pairs at sf0.1;
+# -XX:-DontCompileHugeMethods does not help), because a single expression
+# cannot be method-split and the resulting method is beyond what the JIT
+# optimizes. The scale fix for the N x C assignment is the Arrow route in
+# ann_ivf below (guide §4.2); the per-pair JVM folds stay HOF-shaped.
+
+
+def _hof_dot(a, b):
+    """Sequential dot-product fold (the oracle-matching float op order:
+    acc = 0.0, then + a[i]*b[i] in ascending i)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _hof_norm(a):
+    """``sqrt(aggregate(a, 0.0, (acc,x)->acc+x*x))`` — same fold order as
+    the inline form it replaces, so hoisting it to one column per row (out
+    of every per-pair cosine) changes nothing numerically."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 @q("ann_bruteforce", """
 WITH q AS (SELECT embedding::DOUBLE[] AS qemb FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, e.label,
@@ -405,14 +433,17 @@ def ann_bruteforce(spark, sf):
     e = _t(spark, sf, "embeddings") \
         .select("vec_id", "label",
                 F.col("embedding").cast("array<double>").alias("emb"))
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
-    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
-    dot = F.aggregate(F.zip_with(F.col("emb"), F.col("qemb"),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.col("emb"), F.lit(0.0), lambda a_, x: a_ + x * x))
-    nb = F.sqrt(F.aggregate(F.col("qemb"), F.lit(0.0), lambda a_, x: a_ + x * x))
-    cos = dot / (na * nb)
+    # norms hoisted out of the per-pair expression (computed once per row /
+    # once for the query vector instead of inside every cosine; identical
+    # value — same deterministic expression over the same array)
+    qv = (e.filter(F.col("vec_id") == 0)
+          .select(F.col("emb").alias("qemb"))
+          .withColumn("_qn", _hof_norm(F.col("qemb"))))
+    joined = (e.filter(F.col("vec_id") != 0)
+              .withColumn("_n", _hof_norm(F.col("emb")))
+              .crossJoin(F.broadcast(qv)))
+    cos = (_hof_dot(F.col("emb"), F.col("qemb"))
+           / (F.col("_n") * F.col("_qn")))
     return (joined.select("vec_id", "label", cos.alias("_cos"))
             .orderBy(F.desc("_cos"), F.asc("vec_id")).limit(10)
             .select("vec_id", "label", F.round("_cos", 4).alias("cos_sim")))
@@ -490,50 +521,104 @@ def ann_ivf(spark, sf, nprobe: int = 4):
     recall/cost curve (measured in BENCH.md via tools/bench_ivf_recall.py —
     recall@10 is monotone in nprobe, asserted in tests/test_ivf_recall.py).
     The registered driver query and its oracle run nprobe=4, the defensible
-    default operating point on the measured curve (IVF_RECALL.json:
-    recall@10 ~3x nprobe=1's for ~6% of the data scanned); nprobe=1 — the
-    prior contract — is the degenerate probe-own-list corner, kept
-    reachable via the parameter (VERDICT r4 #7)."""
+    default operating point on the measured curve (IVF_RECALL.json's
+    nprobe=4 row: recall@10 0.5 — 2.5x nprobe=1's 0.2 — for ~12.5% of the
+    data scanned); nprobe=1 — the prior contract — is the degenerate
+    probe-own-list corner, kept reachable via the parameter (VERDICT
+    r4 #7)."""
+    import numpy as np
+
+    raw = _t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+
+    # --- centroid matrix. These are exactly the N/64 rows the r5 plan fed
+    # through a BroadcastExchange (a broadcast IS a driver collect + ship,
+    # guide §3.1); collected explicitly so the assignment stage below can
+    # evaluate all C cosines per vector in vectorized numpy instead of
+    # materializing the N x C crossJoin. Size = C x 64 floats (~80 KB at
+    # sf1.0) — bounded by the same memory the broadcast already used.
+    cent_rows = sorted(
+        raw.filter(F.col("vec_id") % 64 == 1)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id)
+    c_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    c_mat = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    c_nrm = np.zeros(len(c_ids))
+    for i in range(_EMB_DIM):       # same fold order as the JVM norm
+        c_nrm += c_mat[:, i] * c_mat[:, i]
+    c_nrm = np.sqrt(c_nrm)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat.T.copy(), c_nrm))
+
+    def _assign(batches):
+        # Arrow-batched inverted-list assignment (guide §4.2/§8: hand whole
+        # batches to vectorized native code; the r5 JVM shape — crossJoin to
+        # C rows per vector + interpreted HOF cosines + max_by — cost 89s at
+        # sf1.0 for the same answer). BIT-IDENTICAL to the JVM fold: the dot
+        # and norm accumulate dimension-by-dimension in ascending order over
+        # float64 (exactly `acc = 0.0; acc += v[i]*c[i]`), sqrt/division are
+        # IEEE-correctly-rounded in both runtimes, and np.argmax's
+        # first-maximum tiebreak == the oracle's (sim DESC, cid ASC)
+        # row_number because centroid columns are sorted by cid.
+        ids, cmT, cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.zeros(len(v))
+            dots = np.zeros((len(v), len(ids)))
+            for i in range(_EMB_DIM):
+                vi = v[:, i]
+                vn += vi * vi
+                dots += vi[:, None] * cmT[i][None, :]
+            sims = dots / (np.sqrt(vn)[:, None] * cn[None, :])
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "label": pdf["label"].to_numpy(),
+                "embedding": pdf["embedding"],
+                "cid": ids[np.argmax(sims, axis=1)],
+            })
+
+    # single-file scan -> spread rows so every core runs assignment batches
+    # (row-independent computation; results unaffected by placement)
+    lists = (raw.repartition(spark.sparkContext.defaultParallelism)
+             .mapInPandas(
+                 _assign,
+                 schema="vec_id long, label int, embedding array<float>, "
+                        "cid long"))
+
+    # probe + final scoring stay in the JVM with the oracle-matching HOF
+    # folds — past the inverted-list routing only ~N*nprobe/C rows remain,
+    # so the interpreted fold cost is negligible there.
     e = (_t(spark, sf, "embeddings")
-         .select("vec_id", "label",
-                 F.col("embedding").cast("array<double>").alias("emb")))
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+         .withColumn("nrm", _hof_norm(F.col("emb"))))
     cents = (e.filter(F.col("vec_id") % 64 == 1)
-             .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")))
-
-    def cos(a, b):
-        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
-        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
-        return dot / (na * nb)
-
-    # argmax centroid per vector == max over the lexicographic (sim, -cid)
-    # struct (sim desc, cid asc tiebreak — identical to the oracle's
-    # row_number ordering), as an aggregate so duplicates collapse map-side
-    lists = (e.crossJoin(F.broadcast(cents))
-             .withColumn("_sim", cos(F.col("emb"), F.col("cemb")))
-             .groupBy("vec_id")
-             .agg(F.max_by(
-                 F.struct(F.col("label"), F.col("emb"), F.col("cid")),
-                 F.struct(F.col("_sim"), (-F.col("cid")).alias("nc"))
-             ).alias("_w"))
-             .select("vec_id", "_w.label", "_w.emb", "_w.cid"))
+             .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"),
+                     F.col("nrm").alias("cnrm")))
     if nprobe <= 1:
         # degenerate probe: the query's own list (the oracle's contract)
-        probed = lists.filter(F.col("vec_id") == 0).select(
-            F.col("cid").alias("qcid"), F.col("emb").alias("qemb"))
+        probed = (lists.filter(F.col("vec_id") == 0)
+                  .select(F.col("cid").alias("qcid"),
+                          F.col("embedding").cast("array<double>")
+                          .alias("qemb"))
+                  .withColumn("qnrm", _hof_norm(F.col("qemb"))))
     else:
         # the query's top-nprobe centroids by similarity — C rows against
         # broadcast centroids, a driver-side-tiny TakeOrdered
-        q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qemb"))
+        q = e.filter(F.col("vec_id") == 0).select(
+            F.col("emb").alias("qemb"), F.col("nrm").alias("qnrm"))
         probed = (q.crossJoin(F.broadcast(cents))
-                  .withColumn("_sim", cos(F.col("qemb"), F.col("cemb")))
+                  .withColumn("_sim", _hof_dot(F.col("qemb"), F.col("cemb"))
+                              / (F.col("qnrm") * F.col("cnrm")))
                   .orderBy(F.desc("_sim"), F.asc("cid")).limit(nprobe)
-                  .select(F.col("cid").alias("qcid"), "qemb"))
-    return (lists.filter(F.col("vec_id") != 0)
-            .join(F.broadcast(probed), F.col("cid") == F.col("qcid"))
+                  .select(F.col("cid").alias("qcid"), "qemb", "qnrm"))
+    scored = (lists.filter(F.col("vec_id") != 0)
+              .join(F.broadcast(probed), F.col("cid") == F.col("qcid"))
+              .withColumn("emb", F.col("embedding").cast("array<double>"))
+              .withColumn("nrm", _hof_norm(F.col("emb"))))
+    return (scored
             .select("vec_id", "label",
-                    F.round(cos(F.col("emb"), F.col("qemb")), 4)
+                    F.round(_hof_dot(F.col("emb"), F.col("qemb"))
+                            / (F.col("nrm") * F.col("qnrm")), 4)
                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10))
 
@@ -796,6 +881,12 @@ def multimodal_pipeline(spark, sf):
               "mean_lum_x100 long, phash_ok boolean, w2 int, h2 int, "
               "n_bytes_out long, mean_lum2_x100 long, "
               "hist0 long, hist1 long, hist2 long, hist3 long")
+    # The fixture is ONE small parquet file -> one scan partition -> every
+    # decode ran serially in a single Python worker (r5: 1.4s at 1/32 cores
+    # busy). Spreading the rows across the session's parallelism first costs
+    # one tiny shuffle (512 rows) and lets all workers decode concurrently
+    # (guide §2.6 idle capacity; output unchanged — orderBy follows).
+    img = img.repartition(spark.sparkContext.defaultParallelism)
     return img.mapInPandas(_pipe, schema=schema).orderBy("image_id")
 
 
@@ -846,6 +937,9 @@ def audio_features(spark, sf):
                 })
             yield pd.DataFrame(rows)
 
+    # single-file fixture -> spread rows so decodes run on every core
+    # (same rationale as multimodal_pipeline; output unchanged)
+    aud = aud.repartition(spark.sparkContext.defaultParallelism)
     return aud.mapInPandas(
         _feats, schema=("audio_id string, n_samples_dec long, "
                         "duration_ms long, rms_x10 long, peak long")
@@ -900,6 +994,9 @@ def video_frame_sample(spark, sf):
                 })
             yield pd.DataFrame(rows)
 
+    # single-file fixture -> spread rows so decodes run on every core
+    # (same rationale as multimodal_pipeline; output unchanged)
+    vid = vid.repartition(spark.sparkContext.defaultParallelism)
     return vid.mapInPandas(
         _sample, schema=("video_id string, n_frames int, "
                          "bytes_per_frame long, n_sampled long, "

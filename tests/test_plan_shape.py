@@ -146,13 +146,18 @@ def test_admission_shuffles_are_compact(spark):
 
 
 def test_ann_ivf_assignment_partial_agg_no_window(spark, sf01):
-    """The IVF centroid-assignment argmax must be a max_by aggregate with
-    map-side partial combine, never a row_number window (a window would
-    globally shuffle-sort all C x N assignment rows at 10^10 vectors)."""
+    """The IVF centroid-assignment argmax must never materialize the C x N
+    candidate relation in the JVM: r6 moved it into ONE Arrow-batched
+    MapInPandas pass (vectorized per-vector argmax against the broadcast
+    centroid matrix — bit-identical fold order to the r5 max_by aggregate,
+    asserted value-equal in test_textops.py's oracle row). The plan must
+    show the Arrow stage and still no row_number window and no cartesian
+    product (a window would globally shuffle-sort all C x N assignment rows
+    at 10^10 vectors)."""
     from crawlspark.textops import QUERIES
 
     plan = plan_of(QUERIES["ann_ivf"](spark, sf01))
-    assert "partial_max_by" in plan
+    assert "MapInPandas" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
 
