@@ -89,10 +89,18 @@ def _skew_safe_bucket_pairs(df: DataFrame, bucket_col: str, id_col: str,
          pairs, so per-task work is capped regardless of cluster size.
 
     Output is identical to the naive join (asserted in
-    tests/test_pair_skew.py); only the task-level distribution changes."""
+    tests/test_pair_skew.py); only the task-level distribution changes.
+
+    r6: the bucket key is EXCLUDED from the ``a``/``b`` row structs — no
+    caller reads it back (it is the join key, not a payload), and at sf1.0
+    the minhash band key is a 32-char md5 string that would otherwise ride
+    both sides of all ~5.8M candidate-pair rows through the join and the
+    downstream pair shuffle (~370 MB of dead weight; guide §2.3 "project
+    before the exchange" — nested-field pruning does not reach into structs
+    built mid-plan)."""
     from pyspark.sql import Window
 
-    row = F.struct(*[F.col(c) for c in df.columns])
+    row = F.struct(*[F.col(c) for c in df.columns if c != bucket_col])
     dfn = df.withColumn(
         "_n", F.count("*").over(Window.partitionBy(bucket_col)))
     normal = dfn.filter(F.col("_n") <= cap)
@@ -185,19 +193,26 @@ SELECT doc_a, doc_b, n_shared_bands FROM pairs ORDER BY doc_a, doc_b
 """
 
 
-def dedup_minhash(spark, sf):
-    """MinHash + LSH banding near-dup candidates: bigram shingles ->
-    md5-based 60-bit hashes -> 8 affine min-hashes mod 2^31-1 -> 4 bands of 2
-    -> band-bucket self-join. Scale shape: the only shuffles are the
-    per-doc signature groupBy and the band-key join; band keys are uniform
-    hashes so the join is skew-free, and all-pairs comparison is never
-    materialized (SURVEY task brief: shingle->minhash->band->bucket-join)."""
+def _minhash_band_candidates(spark, sf) -> DataFrame:
+    """Shared candidate generator for the minhash family — everything up to
+    (doc_a, doc_b, n_shared_bands), WITHOUT the presentation sort, so
+    dedup_minhash_verified composes it under its joins without paying a
+    global sort of the full candidate set (at sf1.0 the data's boilerplate
+    clusters make that ~5.8M pair rows; Catalyst does not remove a
+    subquery's orderBy for you here)."""
     docs = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("l"))
     sh = docs.select(
         "doc_id",
         F.explode(F.expr(
             "transform(sequence(1, size(l) - 1), i -> concat(l[i-1], ' ', l[i]))"
         )).alias("shingle"))
+    # (r6 measured negative result: broadcast-joining a distinct-shingle
+    # hash dictionary here — the trick that wins 1.6x in dedup_simhash —
+    # REGRESSED this query 7.6s -> 15s at sf1.0. The dictionary subtree
+    # re-runs the shingle explode as a second stage and every downstream
+    # pair-join copy waits on its broadcast, which costs more than the
+    # ~1.8s of md5 it saves; inline hashing keeps shingle->hash->partial-min
+    # in one codegen'd map stage feeding the signature shuffle.)
     hs = sh.select("doc_id",
                    F.expr(SPARK_H60.format(c="shingle")).cast("long").alias("h"))
     aggs = [F.min((F.lit(a) * (F.col("h") % MH_P) + F.lit(b)) % MH_P)
@@ -218,8 +233,17 @@ def dedup_minhash(spark, sf):
     return (pairs
             .groupBy(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("n_shared_bands"))
-            .orderBy("doc_a", "doc_b"))
+            .agg(F.count("*").alias("n_shared_bands")))
+
+
+def dedup_minhash(spark, sf):
+    """MinHash + LSH banding near-dup candidates: bigram shingles ->
+    md5-based 60-bit hashes -> 8 affine min-hashes mod 2^31-1 -> 4 bands of 2
+    -> band-bucket self-join. Scale shape: the only shuffles are the
+    per-doc signature groupBy and the band-key join; band keys are uniform
+    hashes so the join is skew-free, and all-pairs comparison is never
+    materialized (SURVEY task brief: shingle->minhash->band->bucket-join)."""
+    return _minhash_band_candidates(spark, sf).orderBy("doc_a", "doc_b")
 
 
 QUERIES["dedup_minhash"] = dedup_minhash
@@ -254,7 +278,14 @@ def dedup_minhash_verified(spark, sf):
     probabilistic stage routes, the expensive exact stage touches only
     candidate pairs (two equi-joins on doc_id against the token-set table —
     skew-free keys, broadcast-eligible at small candidate counts)."""
-    cands = dedup_minhash(spark, sf)
+    # r6: candidates composed WITHOUT dedup_minhash's presentation sort
+    # (saves a global sort of ~5.8M pair rows at sf1.0 under the joins).
+    # (Measured negative result, reverted: force-broadcasting the token-set
+    # table into both verify joins — instead of these equi-joins — cost
+    # +4.5s at sf1.0: two ~50MB array-payload broadcasts serialize the
+    # pipeline and cost more than the pair-stream shuffles they remove on
+    # the tmpfs-backed local shuffle path.)
+    cands = _minhash_band_candidates(spark, sf)
     toks = (_t(spark, sf, "documents")
             .select("doc_id",
                     F.array_distinct(F.split("text", " ")).alias("ts")))
@@ -303,9 +334,16 @@ def dedup_simhash(spark, sf):
     found by pigeonhole banding exactly like MinHash."""
     toks = (_t(spark, sf, "documents")
             .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
-    hs = toks.select(
-        "doc_id",
-        (F.expr(SPARK_H60.format(c="tok")).cast("long") % 4294967296).alias("h32"))
+    # r6: hash the distinct token vocabulary once, broadcast-join it back
+    # (same rationale and equivalence argument as the shingle dictionary in
+    # _minhash_band_candidates; measured 1.6x at sf1.0 where 2.7M token
+    # instances draw from ~31 distinct tokens)
+    tok_dict = (toks.select("tok").distinct()
+                .select("tok",
+                        (F.expr(SPARK_H60.format(c="tok")).cast("long")
+                         % 4294967296).alias("h32")))
+    hs = (toks.join(F.broadcast(tok_dict), "tok")
+          .select("doc_id", "h32"))
     votes = [F.sum(F.when(F.expr(f"(h32 >> {bit}) & 1 = 1"), 1).otherwise(-1))
              .alias(f"v{bit}") for bit in range(SIMHASH_BITS)]
     v = hs.groupBy("doc_id").agg(*votes)
@@ -665,7 +703,14 @@ def quality_score(spark, sf):
     stopword ratio, mean word length — the standard pre-training quality
     gates and corpus-size estimators, all integer-exact so the oracle
     compare is bitwise. All JVM expressions; no Python in the loop."""
+    # r6: sort FIRST on the raw scan columns, project after. A global
+    # orderBy range-partitions its child, and the range sampler EXECUTES the
+    # child once before the real pass — with the projection below the sort,
+    # every regex/HOF ran twice (measured 3.3s -> 0.8s at sf1.0 from this
+    # reordering alone; plan shows Project above Sort above the scan).
     d = (_t(spark, sf, "documents")
+         .select("doc_id", "text", "n_chars")
+         .orderBy("doc_id")
          .select("doc_id", F.split("text", " ").alias("toks"), "n_chars",
                  # regexp_count, not size(regexp_extract_all): the count is
                  # all we need, so never materialize the token array
@@ -687,8 +732,7 @@ def quality_score(spark, sf):
         "n_chars", n_stop.alias("n_stop"),
         F.floor(n_stop * 10000.0 / n_tok).cast("long").alias("stop_bp"),
         F.floor(F.col("n_chars") * 100.0 / n_tok).cast("long")
-        .alias("avg_wordlen_x100"))
-        .orderBy("doc_id"))
+        .alias("avg_wordlen_x100")))
 
 
 @q("lang_id", """
@@ -883,11 +927,16 @@ def multimodal_pipeline(spark, sf):
               "hist0 long, hist1 long, hist2 long, hist3 long")
     # The fixture is ONE small parquet file -> one scan partition -> every
     # decode ran serially in a single Python worker (r5: 1.4s at 1/32 cores
-    # busy). Spreading the rows across the session's parallelism first costs
-    # one tiny shuffle (512 rows) and lets all workers decode concurrently
-    # (guide §2.6 idle capacity; output unchanged — orderBy follows).
-    img = img.repartition(spark.sparkContext.defaultParallelism)
-    return img.mapInPandas(_pipe, schema=schema).orderBy("image_id")
+    # busy). Range-partition by image_id BEFORE the decode stage and sort
+    # within partitions after: all workers decode concurrently, and the
+    # total order comes from range-ordered partitions + the local sort —
+    # without a global Sort above the UDF, whose range sampler would
+    # EXECUTE the decode stage a second time just to pick bounds (the
+    # repartitionByRange sampler reads only the scan).
+    img = img.repartitionByRange(spark.sparkContext.defaultParallelism,
+                                 "image_id")
+    return (img.mapInPandas(_pipe, schema=schema)
+            .sortWithinPartitions("image_id"))
 
 
 QUERIES["multimodal_pipeline"] = multimodal_pipeline
@@ -937,13 +986,15 @@ def audio_features(spark, sf):
                 })
             yield pd.DataFrame(rows)
 
-    # single-file fixture -> spread rows so decodes run on every core
-    # (same rationale as multimodal_pipeline; output unchanged)
-    aud = aud.repartition(spark.sparkContext.defaultParallelism)
+    # single-file fixture -> range-partition so decodes run on every core;
+    # range partitions + local sort = total order without re-running the
+    # decode stage for sort-bound sampling (see multimodal_pipeline)
+    aud = aud.repartitionByRange(spark.sparkContext.defaultParallelism,
+                                 "audio_id")
     return aud.mapInPandas(
         _feats, schema=("audio_id string, n_samples_dec long, "
                         "duration_ms long, rms_x10 long, peak long")
-    ).orderBy("audio_id")
+    ).sortWithinPartitions("audio_id")
 
 
 QUERIES["audio_features"] = audio_features
@@ -994,13 +1045,15 @@ def video_frame_sample(spark, sf):
                 })
             yield pd.DataFrame(rows)
 
-    # single-file fixture -> spread rows so decodes run on every core
-    # (same rationale as multimodal_pipeline; output unchanged)
-    vid = vid.repartition(spark.sparkContext.defaultParallelism)
+    # single-file fixture -> range-partition so decodes run on every core;
+    # range partitions + local sort = total order without re-running the
+    # decode stage for sort-bound sampling (see multimodal_pipeline)
+    vid = vid.repartitionByRange(spark.sparkContext.defaultParallelism,
+                                 "video_id")
     return vid.mapInPandas(
         _sample, schema=("video_id string, n_frames int, "
                          "bytes_per_frame long, n_sampled long, "
-                         "mean_lum_sampled_x100 long")).orderBy("video_id")
+                         "mean_lum_sampled_x100 long")).sortWithinPartitions("video_id")
 
 
 QUERIES["video_frame_sample"] = video_frame_sample
