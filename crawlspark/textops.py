@@ -251,6 +251,11 @@ QUERIES["dedup_minhash"] = dedup_minhash
 
 _JACCARD_VERIFY_BP = 2500
 
+#: Max dictionary size for the bitmask-Jaccard verify encoding (above this
+#: the map literal and per-row mask width stop paying; fall back to
+#: array_intersect). 4096 tokens -> 64 mask longs per doc.
+_VOCAB_CAP = 4096
+
 ORACLE_SQL["dedup_minhash_verified"] = f"""
 {_MH_CTE_DUCK}
 , toks AS (
@@ -289,10 +294,55 @@ def dedup_minhash_verified(spark, sf):
     toks = (_t(spark, sf, "documents")
             .select("doc_id",
                     F.array_distinct(F.split("text", " ")).alias("ts")))
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
-    union = F.size("ts_a") + F.size("ts_b") - inter
+
+    # r6: bitmask set algebra for the exact-Jaccard verify. The corpus draws
+    # from a bounded dictionary, so each doc's distinct-token SET encodes as
+    # ceil(V/64) longs (token -> bit position from a sorted-vocabulary map
+    # literal); |intersection| and |union| become popcounts — EXACT integers,
+    # identical to size(array_intersect(...)) by set semantics, feeding the
+    # same double arithmetic for jaccard_bp. The verify joins then carry a
+    # few longs per side instead of the full ~300B token arrays across the
+    # ~5.8M candidate-pair stream at sf1.0, and the per-pair work is AND +
+    # popcount instead of a hash-set intersect. Vocabulary is collected once
+    # (dictionary-sized, like ann_ivf's centroid matrix); past _VOCAB_CAP we
+    # fall back to the array_intersect plan, which has no vocab bound.
+    # (r6 negative result, kept out: force-broadcasting the token-set table
+    # into these joins cost +4.5s at sf1.0 — two array-payload broadcasts
+    # serialize the pipeline for less than the shuffles they save locally.)
+    vocab = sorted(r.tok for r in
+                   toks.select(F.explode("ts").alias("tok")).distinct()
+                   .limit(_VOCAB_CAP + 1).collect())
+    if len(vocab) <= _VOCAB_CAP:
+        n_chunks = max(1, (len(vocab) + 63) // 64)
+        vid_map = F.create_map(
+            *[x for i, t in enumerate(vocab) for x in (F.lit(t), F.lit(i))])
+        chunk_aggs = [
+            F.bit_or(
+                F.when((F.col("vid") / 64).cast("int") == w,
+                       F.expr("shiftleft(1L, int(pmod(vid, 64)))"))
+                .otherwise(F.lit(0).cast("long"))).alias(f"m{w}")
+            for w in range(n_chunks)]
+        masks = (toks.select("doc_id", F.explode("ts").alias("tok"))
+                 .withColumn("vid", F.element_at(vid_map, F.col("tok")))
+                 .groupBy("doc_id").agg(*chunk_aggs))
+        a = masks.select(F.col("doc_id").alias("doc_a"),
+                         *[F.col(f"m{w}").alias(f"a{w}")
+                           for w in range(n_chunks)])
+        b = masks.select(F.col("doc_id").alias("doc_b"),
+                         *[F.col(f"m{w}").alias(f"b{w}")
+                           for w in range(n_chunks)])
+        inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+                    for w in range(n_chunks))
+        size_a = sum(F.bit_count(F.col(f"a{w}")) for w in range(n_chunks))
+        size_b = sum(F.bit_count(F.col(f"b{w}")) for w in range(n_chunks))
+    else:  # unbounded vocabulary: verify on the raw token arrays
+        a = toks.select(F.col("doc_id").alias("doc_a"),
+                        F.col("ts").alias("ts_a"))
+        b = toks.select(F.col("doc_id").alias("doc_b"),
+                        F.col("ts").alias("ts_b"))
+        inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+        size_a, size_b = F.size("ts_a"), F.size("ts_b")
+    union = size_a + size_b - inter
     jac = F.floor(inter * 10000.0 / union).cast("long")
     return (cands.join(a, "doc_a").join(b, "doc_b")
             .withColumn("jaccard_bp", jac)
