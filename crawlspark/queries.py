@@ -401,24 +401,18 @@ def mv_stats(spark, sf):
     """J5: materialized-view stats — multi-way LEFT JOIN + COUNT DISTINCT
     (ref: repository_stats MV, SCHEMA_EVOLUTION.md:209-229).
 
-    r6: aggregate orders BEFORE the join (guide §2.3). The r5 plan joined
-    1.5M order rows to customers and ran count-distinct (an Expand doubling
-    the rows) over the joined set; pre-aggregating per o_custkey shuffles
-    ~100k partial-agg rows instead and the join becomes small-vs-small.
-    Identical result: a customer with no orders gets n_orders=0 (COUNT over
-    an all-NULL group) = coalesce(NULL, 0), and count-distinct ignores NULLs
-    in both shapes."""
+    (r6 measured negative result, reverted: pre-aggregating orders per
+    o_custkey before the join — guide §2.3's usual move — ran 1.45s vs
+    1.18s for this shape at sf1.0. The customer side broadcasts, so the
+    join is shuffle-free either way, and the pre-agg's count-distinct
+    Expand pays a second aggregation pass over nearly as many rows as the
+    joined stream; keep join-then-aggregate.)"""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    agg = (o.groupBy("o_custkey")
-           .agg(F.count("o_orderkey").alias("_n_orders"),
-                F.countDistinct("o_orderstatus").alias("_n_status")))
-    return (c.join(agg, c.c_custkey == agg.o_custkey, "left")
-            .select("c_custkey",
-                    F.coalesce("_n_orders", F.lit(0).cast("long"))
-                    .alias("n_orders"),
-                    F.coalesce("_n_status", F.lit(0).cast("long"))
-                    .alias("n_status"))
+    return (c.join(o, o.o_custkey == c.c_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.countDistinct("o_orderstatus").alias("n_status"))
             .orderBy("c_custkey"))
 
 
@@ -663,13 +657,19 @@ ORDER BY user_id
 """)
 def latest_per_group(spark, sf):
     """O2/O3: latest row per group (ref: ORDER BY started_at DESC LIMIT 1 per
-    job_type, database.py:430-442)."""
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    job_type, database.py:430-442).
+
+    r6: row_number window -> max(struct(ts, event_id, event_type))
+    aggregate, same conversion as dedup_seen (map-side partial agg, no
+    per-partition sort; measured 1.24s -> 0.91s at sf1.0, rows identical).
+    event_type rides in the struct but is only compared when (ts, event_id)
+    ties — impossible under the driver data's unique event_id."""
     return (_t(spark, sf, "events")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("user_id", "event_id",
-                    F.date_format("ts", TS_US).alias("ts_str"), "event_type")
+            .groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("_w"))
+            .select("user_id", F.col("_w.event_id").alias("event_id"),
+                    F.date_format("_w.ts", TS_US).alias("ts_str"),
+                    F.col("_w.event_type").alias("event_type"))
             .orderBy("user_id"))
 
 
