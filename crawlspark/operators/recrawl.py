@@ -79,7 +79,7 @@ def forget_urls(spark: SparkSession, store: SnapshotStore, cfg: CrawlConfig,
         # schema and the rewrite would silently drop newer columns from the
         # rewritten buckets — union schemas exactly when evolution happened
         reader = (spark.read.option("mergeSchema", "true")
-                  if store.schema_variants("url_seen") > 1 else spark.read)
+                  if store.needs_merge("url_seen") else spark.read)
         bucket_of = F.pmod(F.xxhash64(F.col(key_col)),
                            F.lit(n_b)).cast("int")
         touched = sorted({int(r["_b"]) for r in

@@ -119,7 +119,7 @@ def compact_frontier_strata(spark: SparkSession, store: SnapshotStore,
     if not files_by_p:
         return 0
     import os
-    evolved = store.schema_variants("frontier") > 1
+    evolved = store.needs_merge("frontier")
     reader = (spark.read.option("mergeSchema", "true") if evolved
               else spark.read)
     absorbed = 0
@@ -143,8 +143,27 @@ def compact_frontier_strata(spark: SparkSession, store: SnapshotStore,
                 if f not in pinned_before]
     ordered = [f for p in sorted(new_map, key=int)
                for f in new_map[p]] + unpinned
-    store.commit(epoch=snap.epoch, replaces={"frontier": ordered},
-                 meta={**snap.meta, "frontier_files_by_priority": new_map})
+    # Optimistic concurrency (r6, ADVICE item 1): this commit REPLACES the
+    # frontier file list and meta wholesale from the planning snapshot. If
+    # anything committed in between (notably a concurrent streaming
+    # fold_batch), landing the stale plan would silently clobber that
+    # commit's frontier appends, pin-map entries, and discovery-cursor
+    # advances — and the stream's checkpoint has moved on, so the lost
+    # discoveries would never be redelivered. require_base makes the store
+    # refuse; maintenance simply yields (the staged rewrite files stay
+    # unreferenced for vacuum) and the next maintenance pass replans.
+    from ..tables import CommitConflictError
+    try:
+        store.commit(epoch=snap.epoch, replaces={"frontier": ordered},
+                     meta={**snap.meta, "frontier_files_by_priority": new_map},
+                     require_base=snap.commit_id)
+    except CommitConflictError:
+        import warnings
+        warnings.warn(
+            "compact_frontier_strata: a concurrent commit landed between "
+            "planning and publish; yielding this maintenance pass (staged "
+            "rewrite files left for vacuum)")
+        return 0
     return absorbed
 
 

@@ -101,15 +101,17 @@ def fold_batch(spark: SparkSession, store: SnapshotStore,
         done = int(store.snapshot().meta.get("discovery_cursors", {})
                    .get(cursor_tag, -1))
         if batch_id <= done:
-            if batch_id + 1 < done:
-                # crash-replay re-delivers only the LAST committed batch;
-                # a batch id far below the cursor means the cursor tag is
-                # being reused across query lineages (e.g. a wiped
-                # checkpoint dir with a path-based tag) — skipping here
-                # would silently drop new discoveries
+            if batch_id < done:
+                # crash-replay re-delivers only the LAST committed batch
+                # (batch_id == done); ANY batch id strictly below the
+                # cursor means the cursor tag is being reused across query
+                # lineages (e.g. a wiped checkpoint dir with a path-based
+                # tag) — skipping here would silently drop new discoveries
+                # (r6, ADVICE: previously only batch_id + 1 < done warned,
+                # silently passing the equally-suspicious done - 1 case)
                 import warnings
                 warnings.warn(
-                    f"fold_batch: batch_id {batch_id} is far below cursor "
+                    f"fold_batch: batch_id {batch_id} is below cursor "
                     f"{done} for tag {cursor_tag!r} — possible reused "
                     "cursor tag across query lineages; refusing to treat "
                     "as replay would double-fold, so skipping, but audit "

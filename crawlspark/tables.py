@@ -61,6 +61,11 @@ class Snapshot:
 _EMPTY = Snapshot(commit_id=-1, epoch=-1, tables={}, meta={})
 
 
+class CommitConflictError(RuntimeError):
+    """A commit planned against a snapshot that is no longer current
+    (optimistic-concurrency failure — see SnapshotStore.commit)."""
+
+
 def _schema_sig(schema) -> str:
     """Short stable fingerprint of a Spark schema (names + types, ordered).
     Two files with the same fingerprint are read-compatible without schema
@@ -211,11 +216,27 @@ class SnapshotStore:
     # -- commit -------------------------------------------------------------
 
     def commit(self, epoch: int, appends: dict | None = None,
-               replaces: dict | None = None, meta: dict | None = None) -> Snapshot:
+               replaces: dict | None = None, meta: dict | None = None,
+               require_base: int | None = None) -> Snapshot:
         """Atomically publish staged files. ``appends[name]`` extends the
         table's file list; ``replaces[name]`` swaps it wholesale (small state
-        tables: politeness budgets). One rename = all-or-nothing."""
+        tables: politeness budgets). One rename = all-or-nothing.
+
+        ``require_base`` is optimistic concurrency (the Iceberg
+        base-snapshot validation): when set, the commit refuses to land if
+        the store's current commit_id no longer equals it — i.e. someone
+        committed between this writer's planning snapshot and now. Wholesale
+        REPLACE+meta writers (maintenance that rewrites a whole table or a
+        meta map from a planning snapshot, e.g. compact_frontier_strata)
+        must pass it: without the check a concurrent append/commit's rows
+        and meta advances would be silently clobbered by the stale plan
+        (r6, ADVICE item 1)."""
         cur = self.snapshot()
+        if require_base is not None and cur.commit_id != require_base:
+            raise CommitConflictError(
+                f"commit planned against snapshot {require_base} but the "
+                f"store is now at {cur.commit_id}; replan from the current "
+                "snapshot (a concurrent commit landed in between)")
         tables = {k: list(v) for k, v in cur.tables.items()}
         for name, files in (appends or {}).items():
             tables.setdefault(name, [])
@@ -357,7 +378,7 @@ class SnapshotStore:
             # schema evolution: loose appends may carry a newer schema than
             # the bucketed files — union by name with nulls for columns a
             # side lacks, the same semantics as read()'s mergeSchema path
-            evolved = self.schema_variants(name) > 1
+            evolved = self.needs_merge(name)
             reader = (spark.read.option("mergeSchema", "true")
                       if evolved else spark.read)
             loose_df = reader.parquet(
@@ -470,6 +491,20 @@ class SnapshotStore:
             rels = kept
         return [os.path.join(self.root, f) for f in rels]
 
+    def needs_merge(self, name: str, commit_id: int | None = None) -> bool:
+        """Whether reads of this table's live files must union schemas —
+        the SAME decision rule as compact()'s (``_needs_merge_schema`` over
+        the raw per-file fingerprints, None for pre-feature files), exposed
+        so every read/rewrite path agrees about evolution. Before r6 the
+        read paths gated on ``schema_variants() > 1`` (known sigs only),
+        so a pre-feature file with an evolved schema was plain-read
+        (columns silently dropped) yet merge-read by compact() —
+        inconsistent results for the same file set (ADVICE item 2)."""
+        snap = self.snapshot(commit_id)
+        sigs = [snap.stats.get(r, {}).get("__schema__")
+                for r in snap.tables.get(name, [])]
+        return _needs_merge_schema(sigs)
+
     def schema_variants(self, name: str,
                         commit_id: int | None = None) -> int:
         """Number of distinct schema fingerprints among a table's live
@@ -499,7 +534,7 @@ class SnapshotStore:
         fs = self.files(name, commit_id, where=where)
         if not fs:
             return None
-        if self.schema_variants(name, commit_id) > 1:
+        if self.needs_merge(name, commit_id):
             return spark.read.option("mergeSchema", "true").parquet(*fs)
         return spark.read.parquet(*fs)
 

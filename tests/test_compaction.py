@@ -228,3 +228,111 @@ def test_needs_merge_schema_decision():
     assert _needs_merge_schema([None, "a"])
     assert _needs_merge_schema(["a", "b"])                # evolved
     assert _needs_merge_schema([None, "a", "b"])
+
+
+def test_commit_require_base_conflict(spark, appended_store):
+    """Optimistic concurrency (r6, ADVICE item 1): a commit planned against
+    a snapshot that is no longer current must be refused, not silently
+    clobber the interleaved commit."""
+    from crawlspark.tables import CommitConflictError
+
+    store = appended_store
+    base = store.snapshot().commit_id
+    # interleaved writer lands first
+    df = spark.range(1000, 1010).select(
+        F.col("id"), (F.col("id") % 7).alias("host_hash"))
+    store.commit(epoch=99, appends={"log": store.stage(df, "log")},
+                 meta={"last_epoch": 99})
+    with pytest.raises(CommitConflictError):
+        store.commit(epoch=100, replaces={"log": []}, require_base=base)
+    # the interleaved commit survives untouched
+    assert store.snapshot().meta["last_epoch"] == 99
+    assert store.snapshot().tables["log"]
+    # and a replanned commit against the CURRENT snapshot goes through
+    store.commit(epoch=100, meta={"last_epoch": 100},
+                 require_base=store.snapshot().commit_id)
+    assert store.snapshot().meta["last_epoch"] == 100
+
+
+def test_frontier_pin_compaction_yields_on_concurrent_commit(
+        spark, tmp_path, recwarn, monkeypatch):
+    """compact_frontier_strata REPLACES the frontier list and meta wholesale
+    from its planning snapshot; if a commit (e.g. a streaming fold_batch)
+    lands in between, it must yield instead of clobbering the interleaved
+    commit's appends/pin entries/cursors (r6, ADVICE item 1)."""
+    from crawlspark.plans.crawler import compact_frontier_strata
+    from crawlspark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    files = {}
+    for p in ("0", "1"):
+        df = (spark.range(int(p) * 50, int(p) * 50 + 50)
+              .select(F.col("id").alias("seq"),
+                      (F.col("id") % 5).alias("host"))
+              .repartition(3))
+        files[p] = store.stage(df, "frontier")
+    store.commit(epoch=0,
+                 appends={"frontier": files["0"] + files["1"]},
+                 meta={"frontier_files_by_priority": files,
+                       "discovery_cursors": {"ckpt": 7}})
+
+    # interpose: after compact's planning snapshot is taken, land a commit
+    real_snapshot = store.snapshot
+    fired = {"done": False}
+
+    def racing_snapshot(*a, **kw):
+        snap = real_snapshot(*a, **kw)
+        if not fired["done"]:
+            fired["done"] = True
+            df = (spark.range(900, 910)
+                  .select(F.col("id").alias("seq"),
+                          (F.col("id") % 5).alias("host")))
+            staged = store.stage(df, "frontier")
+            meta = dict(snap.meta)
+            meta["discovery_cursors"] = {"ckpt": 8}
+            by_p = {k: list(v) for k, v in
+                    meta["frontier_files_by_priority"].items()}
+            by_p["0"] = by_p["0"] + staged
+            meta["frontier_files_by_priority"] = by_p
+            store.commit(epoch=1, appends={"frontier": staged}, meta=meta)
+        return snap
+
+    monkeypatch.setattr(store, "snapshot", racing_snapshot)
+    absorbed = compact_frontier_strata(spark, store, target_files=1)
+    monkeypatch.undo()
+    assert absorbed == 0
+    assert [w for w in recwarn.list
+            if "concurrent commit" in str(w.message)]
+    # the racing commit's meta advances survive
+    assert store.snapshot().meta["discovery_cursors"]["ckpt"] == 8
+
+
+def test_read_merges_schema_for_pre_feature_file_like_compact(
+        spark, tmp_path):
+    """ADVICE item 2: a pre-feature file (no recorded schema fingerprint)
+    holding an evolved schema must be merge-read by the READ path exactly
+    as compact() would merge it — previously read() gated on known-sig
+    count only and silently dropped the evolved column."""
+    import os as _os
+
+    from crawlspark.tables import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    # one fingerprinted file with the base schema
+    base = spark.range(5).select(F.col("id"), F.lit("x").alias("a"))
+    store.commit(epoch=0, appends={"t": store.stage(base.coalesce(1), "t")})
+    # one PRE-FEATURE file (written outside stage(), so no fingerprint)
+    # carrying an evolved schema with an extra column
+    raw_dir = _os.path.join(store.root, "t", "legacy")
+    (spark.range(5, 10)
+     .select(F.col("id"), F.lit("y").alias("a"), F.lit(1).alias("extra"))
+     .coalesce(1).write.mode("overwrite").parquet(raw_dir))
+    legacy = [_os.path.join("t", "legacy", f)
+              for f in _os.listdir(raw_dir) if f.endswith(".parquet")]
+    store.commit(epoch=1, appends={"t": legacy})
+
+    assert store.needs_merge("t")          # None sig among known sigs
+    df = store.read(spark, "t")
+    assert "extra" in df.columns           # evolved column visible
+    rows = {r["id"]: r["extra"] for r in df.collect()}
+    assert rows[7] == 1 and rows[2] is None

@@ -214,11 +214,13 @@ def test_lineage_tag_distinguishes_wiped_checkpoint(tmp_path):
     assert ingest.lineage_tag(str(bare)) == str(bare)
 
 
-def test_fold_batch_warns_when_batch_far_below_cursor(
+def test_fold_batch_warns_when_batch_below_cursor(
         spark, tmp_path_factory, recwarn):
-    """Crash-replay re-delivers only the LAST committed batch; a batch id
-    far below the cursor means a cursor tag reused across lineages — the
-    guard must surface it instead of silently skipping."""
+    """Crash-replay re-delivers only the LAST committed batch
+    (batch_id == done), so ONLY that boundary replay is silent; ANY batch
+    id strictly below the cursor is a lineage-reuse signal and must warn
+    (r6, ADVICE: done - 1 used to pass silently). The skip behavior is
+    unchanged in every case — the warned batches must not fold."""
     tmp = tmp_path_factory.mktemp("warn_fx")
     write_fixtures(str(tmp), SMALL)
     store = init_store(spark, str(tmp),
@@ -226,14 +228,23 @@ def test_fold_batch_warns_when_batch_far_below_cursor(
     ingest.fold_batch(spark, store, _mini_batch(spark, seed=321), 5,
                       cursor_tag="ckpt-W")
     assert store.snapshot().meta["discovery_cursors"]["ckpt-W"] == 5
+    committed = store.snapshot().commit_id
 
-    ingest.fold_batch(spark, store, _mini_batch(spark, seed=322), 4,
-                      cursor_tag="ckpt-W")          # normal replay: silent
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=322), 5,
+                      cursor_tag="ckpt-W")   # boundary replay: silent skip
     assert not [w for w in recwarn.list if "fold_batch" in str(w.message)]
+    assert store.snapshot().commit_id == committed   # skipped, not folded
 
-    ingest.fold_batch(spark, store, _mini_batch(spark, seed=323), 0,
-                      cursor_tag="ckpt-W")          # far below: warn
-    assert [w for w in recwarn.list if "far below cursor" in str(w.message)]
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=323), 4,
+                      cursor_tag="ckpt-W")   # done - 1: warn AND skip
+    assert [w for w in recwarn.list if "below cursor" in str(w.message)]
+    assert store.snapshot().commit_id == committed
+
+    ingest.fold_batch(spark, store, _mini_batch(spark, seed=324), 0,
+                      cursor_tag="ckpt-W")   # far below: warn AND skip
+    assert len([w for w in recwarn.list
+                if "below cursor" in str(w.message)]) == 2
+    assert store.snapshot().commit_id == committed
 
 
 def test_frontier_pin_compaction_bounds_file_growth(spark, tmp_path_factory):
