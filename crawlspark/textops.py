@@ -429,7 +429,7 @@ ORDER BY vec_a, vec_b
 """
 
 
-def dedup_embedding(spark, sf):
+def dedup_embedding(spark, sf, cap: int = _PAIR_BUCKET_CAP):
     """Embedding-cosine near-dup pairs above a threshold, candidate-routed
     through a sign-LSH bucket (the ann_lsh hyperplane family, 4 bits -> 16
     buckets) over the FULL embeddings table: pairs are only compared when
@@ -440,28 +440,100 @@ def dedup_embedding(spark, sf):
     you'd OR several bucket tables exactly like MinHash bands. At sf0.01 the
     oracle certifies ~135 verified pairs routed through ~7.7k in-bucket
     candidates (vs C(500,2)=124k all-pairs). tests/test_plan_shape.py asserts
-    no nested-loop join in this plan."""
-    e = (_t(spark, sf, "embeddings")
-         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-         # norm hoisted to one fold per row instead of two per candidate
-         # pair (identical value — same fold over the same array)
-         .withColumn("nrm", _hof_norm(F.col("emb"))))
+    no nested-loop join in this plan.
+
+    r6: the in-bucket scorer moved from a per-pair JVM HOF cosine over the
+    exploded pair relation (~12.5M interpreted folds at sf1.0, ~24s) into an
+    Arrow-batched ``applyInPandas`` over the SAME skew-cell routing as
+    ``_skew_safe_bucket_pairs``: normal buckets score as one group; a bucket
+    over the cap splits into the identical salted triangle cells (each
+    unordered pair lands in exactly one cell), and each cell's pairwise
+    cosines run as vectorized numpy with the JVM fold's exact
+    dimension-ascending accumulation order (bit-identical — the same
+    argument, and the same oracle gate, as ann_ivf's assignment). Each
+    vector ships once per cell instead of once per PAIR, so Arrow traffic
+    is O(rows), not O(pairs)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    raw = _t(spark, sf, "embeddings").select("vec_id", "embedding")
     bucket = None
     for i in range(_EMB_BITS):
-        term = F.when(F.element_at("emb", i + 1) > 0,
+        term = F.when(F.element_at("embedding", i + 1) > 0,
                       F.lit(1 << i)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    e = e.withColumn("bucket", bucket)
-    cos = (_hof_dot(F.col("a.emb"), F.col("b.emb"))
-           / (F.col("a.nrm") * F.col("b.nrm")))
-    # skew-hardened in-bucket pair generation (same discipline as the
-    # minhash band join: one giant sign-bucket never lands in one task)
-    pairs = _skew_safe_bucket_pairs(e, "bucket", "vec_id")
-    return (pairs
-            .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    cos.alias("_cos"))
-            .filter(F.col("_cos") >= _EMB_THRESHOLD)
+    dfn = (raw.withColumn("bucket", bucket)
+           .withColumn("_n", F.count("*").over(Window.partitionBy("bucket"))))
+    s_of = F.ceil(F.col("_n") / F.lit(cap)).cast("int")
+    g_of = F.pmod(F.xxhash64(F.col("vec_id")), s_of).cast("int")
+    # side 0 = whole normal bucket (both pair sides); 1/2 = the salted
+    # triangle's a/b replicas — the exact cell scheme of
+    # _skew_safe_bucket_pairs, so pair coverage/uniqueness is unchanged
+    normal = (dfn.filter(F.col("_n") <= cap)
+              .select("bucket", F.lit(0).alias("_c1"), F.lit(0).alias("_c2"),
+                      F.lit(0).alias("_side"), "vec_id", "embedding"))
+    big = dfn.filter(F.col("_n") > cap)
+    a_g = (big.select("bucket", g_of.alias("_g"), s_of.alias("_s"),
+                      "vec_id", "embedding")
+           .select("bucket", F.col("_g").alias("_c1"),
+                   F.explode(F.sequence(F.col("_g"), F.col("_s") - 1))
+                   .alias("_c2"), F.lit(1).alias("_side"),
+                   "vec_id", "embedding"))
+    b_g = (big.select("bucket", g_of.alias("_g"), "vec_id", "embedding")
+           .select("bucket",
+                   F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_c1"),
+                   F.col("_g").alias("_c2"), F.lit(2).alias("_side"),
+                   "vec_id", "embedding"))
+    cells = normal.unionByName(a_g).unionByName(b_g)
+
+    def _score_cell(pdf):
+        side = pdf["_side"].to_numpy()
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.zeros(len(v))
+        for d in range(_EMB_DIM):       # the JVM norm fold's exact order
+            nrm += v[:, d] * v[:, d]
+        nrm = np.sqrt(nrm)
+        if side[0] == 0:                # whole normal bucket: A = B = rows
+            ai = np.arange(len(v))
+            bi = ai
+            diagonal = True
+        else:
+            ai = np.where(side == 1)[0]
+            bi = np.where(side == 2)[0]
+            diagonal = bool(pdf["_c1"].iat[0] == pdf["_c2"].iat[0])
+        out_a, out_b, out_c = [], [], []
+        bmat, bn, bids = v[bi], nrm[bi], ids[bi]
+        for i0 in range(0, len(ai), 512):   # bound the sims matrix ~2MB
+            idx = ai[i0:i0 + 512]
+            if not len(idx) or not len(bi):
+                break
+            av = v[idx]
+            dots = np.zeros((len(idx), len(bi)))
+            for d in range(_EMB_DIM):   # the JVM dot fold's exact order
+                dots += av[:, d][:, None] * bmat[:, d][None, :]
+            sims = dots / (nrm[idx][:, None] * bn[None, :])
+            ia, ib = ids[idx][:, None], bids[None, :]
+            mask = (sims >= _EMB_THRESHOLD) & \
+                   ((ia < ib) if diagonal else (ia != ib))
+            r, c = np.nonzero(mask)
+            if len(r):
+                xa, xb = ids[idx][r], bids[c]
+                out_a.append(np.minimum(xa, xb))
+                out_b.append(np.maximum(xa, xb))
+                out_c.append(sims[r, c])
+        if not out_a:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "_cos": pd.Series(dtype="float64")})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "_cos": np.concatenate(out_c)})
+
+    scored = (cells.groupBy("bucket", "_c1", "_c2")
+              .applyInPandas(_score_cell,
+                             schema="vec_a long, vec_b long, _cos double"))
+    return (scored
             .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
             .orderBy("vec_a", "vec_b"))
 

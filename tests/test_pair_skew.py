@@ -99,3 +99,38 @@ def test_salted_pairs_bounded_per_task(spark):
     # over 64 shuffle partitions; the naive plan would put ALL pairs in one
     assert max(counts) <= total // 8
     assert len(counts) >= 16               # genuinely spread out
+
+
+def test_embedding_arrow_cells_identical_across_cap(spark, tmp_path):
+    """r6: dedup_embedding's Arrow in-bucket scorer reuses the salted
+    triangle-cell routing inline. Forcing a mega-bucket through a tiny cap
+    must yield the IDENTICAL pair set and cosines as the pure normal path
+    (cap -> inf), exercising diagonal and off-diagonal cells end to end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawlspark.textops import dedup_embedding
+
+    rng = np.random.RandomState(11)
+    n, dim = 300, 64
+    base = rng.randn(n, dim).astype("float32")
+    base[:, :4] = np.abs(base[:, :4]) + 0.1   # one sign-bucket for all rows
+    # plant near-dup clusters so pairs actually clear the 0.30 threshold
+    for c in range(0, n, 25):
+        base[c:c + 10] = base[c] + 0.01 * rng.randn(10, dim).astype("float32")
+        base[c:c + 10, :4] = np.abs(base[c:c + 10, :4]) + 0.1
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([r for r in base.tolist()],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype="int32"), type=pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    wide = dedup_embedding(spark, str(tmp_path), cap=10 ** 9)
+    salted = dedup_embedding(spark, str(tmp_path), cap=32)
+    a = sorted(map(tuple, wide.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    assert len(a) == len(set(a))           # each unordered pair once
+    assert len(a) >= 100                   # the clusters really matched
