@@ -164,6 +164,9 @@ def upsert_merge(spark, sf):
     result: rn=1 under event_id DESC is the struct maximum (event_id is
     unique per user — driver-data invariant the window version already
     relied on for determinism)."""
+    # (r6b measured negative result: a shared spread_scan ahead of the two
+    # filtered branches lost 0.6s -> 1.4-2.6s at the 10x replica — same
+    # reasoning as dedup_seen: cheap partial aggs, expensive row exchange.)
     ev = _t(spark, sf, "events")
 
     def latest(df):
@@ -362,6 +365,11 @@ def dedup_seen(spark, sf):
     before you shuffle") and needs no sort. Identical result: rn=1 under
     (ts ASC, event_id ASC) is exactly the lexicographic struct minimum, and
     every output column derives from that (ts, event_id) pair."""
+    # (r6b measured negative result: spread_scan here — parallelizing the
+    # map-side partial aggregate — LOST 0.5s -> 0.8-2.3s at the 10x replica;
+    # the struct-min partial agg is ~100ns/row, far cheaper than exchanging
+    # the 1M raw rows. spread_scan only pays where per-row compute is
+    # hash/regex/fold-heavy — see textops._minhash_band_candidates.)
     return (_t(spark, sf, "events")
             .groupBy("user_id")
             .agg(F.min(F.struct("ts", "event_id")).alias("_w"))
@@ -639,6 +647,9 @@ def priority_pop(spark, sf):
     top-k heap. Same selected set: the oracle itself orders by the raw
     column, and the fixture's order dates are day-granular so the formatted
     ordering never disagreed with the raw one."""
+    # (r6b measured negative result: spread_scan before the top-k lost
+    # 0.25s -> 1.4-2.9s at the 10x replica — the single-task top-100 heap
+    # pass is cheaper than exchanging all 1.5M rows.)
     return (_t(spark, sf, "orders")
             .select("o_orderkey", "o_orderpriority", "o_orderdate")
             .orderBy(F.asc("o_orderpriority"), F.asc("o_orderdate"),

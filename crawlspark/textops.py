@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.spread import spread_scan
+
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
 
@@ -144,6 +146,9 @@ def dedup_exact(spark, sf):
     """Exact dedup by content hash (hash-groupBy). At 10^10 docs this is a
     single shuffle on a 128-bit digest — group keys are uniform so AQE's
     partition coalescing is enough; no skew handling needed."""
+    # (r6b measured ~wash-to-negative for spread_scan here at the 10x
+    # replica — one md5 per DOC is too little work per row to buy back the
+    # exchange; contrast the per-SHINGLE md5 in _minhash_band_candidates.)
     return (_t(spark, sf, "documents")
             .groupBy(F.md5(F.lower(F.col("text"))).alias("fp"))
             .agg(F.min("doc_id").alias("keeper_id"),
@@ -200,7 +205,13 @@ def _minhash_band_candidates(spark, sf) -> DataFrame:
     global sort of the full candidate set (at sf1.0 the data's boilerplate
     clusters make that ~5.8M pair rows; Catalyst does not remove a
     subquery's orderBy for you here)."""
-    docs = _t(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("l"))
+    # r6b: spread_scan BEFORE the shingle explode — the whole
+    # shingle->md5->partial-min map stage otherwise runs in the scan stage's
+    # one or two row-group-bound tasks (measured 3.35s -> 0.67s at the 10x
+    # replica for this subtree alone; crawlspark/functions/spread.py)
+    docs = (spread_scan(_t(spark, sf, "documents").select("doc_id", "text"),
+                        "doc_id")
+            .select("doc_id", F.split("text", " ").alias("l")))
     sh = docs.select(
         "doc_id",
         F.explode(F.expr(
@@ -291,7 +302,11 @@ def dedup_minhash_verified(spark, sf):
     # pipeline and cost more than the pair-stream shuffles they remove on
     # the tmpfs-backed local shuffle path.)
     cands = _minhash_band_candidates(spark, sf)
-    toks = (_t(spark, sf, "documents")
+    # r6b: spread_scan — the token-set build (split + array_distinct, then
+    # the mask explode/groupBy below) otherwise runs single-task off the
+    # one-row-group scan (crawlspark/functions/spread.py)
+    toks = (spread_scan(_t(spark, sf, "documents").select("doc_id", "text"),
+                        "doc_id")
             .select("doc_id",
                     F.array_distinct(F.split("text", " ")).alias("ts")))
 
@@ -382,7 +397,12 @@ def dedup_simhash(spark, sf):
     JVM-side integer exprs (token explode -> one groupBy with 32 conditional
     sums); near-dups at scale = fingerprints within small Hamming distance,
     found by pigeonhole banding exactly like MinHash."""
-    toks = (_t(spark, sf, "documents")
+    # r6b: spread_scan before the token explode — one shared doc_id-hash
+    # exchange feeds BOTH the distinct-vocabulary subtree and the main
+    # explode (AQE stage reuse), instead of both running single-task off
+    # the one-row-group scan (crawlspark/functions/spread.py)
+    toks = (spread_scan(_t(spark, sf, "documents").select("doc_id", "text"),
+                        "doc_id")
             .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
     # r6: hash the distinct token vocabulary once, broadcast-join it back
     # (same rationale and equivalence argument as the shingle dictionary in
@@ -599,6 +619,9 @@ def ann_bruteforce(spark, sf):
     qv = (e.filter(F.col("vec_id") == 0)
           .select(F.col("emb").alias("qemb"))
           .withColumn("_qn", _hof_norm(F.col("qemb"))))
+    # (r6b measured negative result: spread_scan before the fold/top-k pass
+    # lost 0.8s -> 3.0s at the 10x replica — 20k rows of 64 doubles cost
+    # more to exchange than their folds cost to run on one core.)
     joined = (e.filter(F.col("vec_id") != 0)
               .withColumn("_n", _hof_norm(F.col("emb")))
               .crossJoin(F.broadcast(qv)))
