@@ -324,9 +324,13 @@ def dedup_minhash_verified(spark, sf):
     # (r6 negative result, kept out: force-broadcasting the token-set table
     # into these joins cost +4.5s at sf1.0 — two array-payload broadcasts
     # serialize the pipeline for less than the shuffles they save locally.)
+    # vocab collect is its own driver-side job, which cannot reuse the main
+    # job's shuffle stages — build it from the raw scan, not the spread
+    # `toks`, so the collect does not materialize the spread exchange twice
     vocab = sorted(r.tok for r in
-                   toks.select(F.explode("ts").alias("tok")).distinct()
-                   .limit(_VOCAB_CAP + 1).collect())
+                   _t(spark, sf, "documents")
+                   .select(F.explode(F.split("text", " ")).alias("tok"))
+                   .distinct().limit(_VOCAB_CAP + 1).collect())
     if len(vocab) <= _VOCAB_CAP:
         n_chunks = max(1, (len(vocab) + 63) // 64)
         vid_map = F.create_map(
@@ -346,6 +350,21 @@ def dedup_minhash_verified(spark, sf):
         b = masks.select(F.col("doc_id").alias("doc_b"),
                          *[F.col(f"m{w}").alias(f"b{w}")
                            for w in range(n_chunks)])
+        # r6b: the mask table is doc_id + n_chunks longs per doc — with a
+        # bounded dictionary it is broadcast-sized far beyond these SFs
+        # (estimate n_docs * 8*(1+n_chunks) bytes from the parquet footer;
+        # driver-side metadata read, no job). Broadcasting both sides turns
+        # the two verify joins — which otherwise SORT-MERGE the full ~5.5M
+        # candidate-pair stream twice — into in-stage hash probes. Past the
+        # threshold the SMJ plan stays: at 10^10 docs no per-doc table
+        # broadcasts. (Distinct from the r6 negative result above: that was
+        # the ~50MB ARRAY-payload token-set table, whose broadcast cost
+        # more than the shuffles it removed; the mask side is ~16B/doc.)
+        import pyarrow.parquet as _pq
+        n_docs = _pq.ParquetFile(
+            f"{sf}/documents.parquet").metadata.num_rows
+        if n_docs * 8 * (1 + n_chunks) < (32 << 20):
+            a, b = F.broadcast(a), F.broadcast(b)
         inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
                     for w in range(n_chunks))
         size_a = sum(F.bit_count(F.col(f"a{w}")) for w in range(n_chunks))
@@ -449,7 +468,17 @@ ORDER BY vec_a, vec_b
 """
 
 
-def dedup_embedding(spark, sf, cap: int = _PAIR_BUCKET_CAP):
+#: dedup_embedding's own salt-cell cap (vs the shared _PAIR_BUCKET_CAP):
+#: with only 2^_EMB_BITS = 16 sign buckets, a cap of 4096 leaves the Arrow
+#: scorer just 16 groups — half the cores idle. 512 splits every >512
+#: bucket into triangle cells (~100 groups at 20k vectors), keeping
+#: per-cell pair work ~cap^2 bounded AND the stage wide. Output is
+#: cap-invariant (asserted by test_pair_skew.py's cross-cap identity test);
+#: measured 3.7s -> 2.7s at the 10x replica.
+_EMB_CELL_CAP = 512
+
+
+def dedup_embedding(spark, sf, cap: int = _EMB_CELL_CAP):
     """Embedding-cosine near-dup pairs above a threshold, candidate-routed
     through a sign-LSH bucket (the ann_lsh hyperplane family, 4 bits -> 16
     buckets) over the FULL embeddings table: pairs are only compared when
@@ -553,7 +582,15 @@ def dedup_embedding(spark, sf, cap: int = _PAIR_BUCKET_CAP):
     scored = (cells.groupBy("bucket", "_c1", "_c2")
               .applyInPandas(_score_cell,
                              schema="vec_a long, vec_b long, _cos double"))
-    return (scored
+    # r6b: exchange barrier between the Arrow scorer and the presentation
+    # sort — the orderBy's range sampler executes its child once to pick
+    # bounds, and without a materialized exchange in between that re-ran
+    # the whole 12.5M-cosine Python stage (the known double-eval pattern;
+    # see quality_score). The surviving pairs are ~1% of the in-bucket
+    # candidates, so this exchange is narrow and cheap.
+    spread = scored.repartition(
+        spark.sparkContext.defaultParallelism, "vec_a", "vec_b")
+    return (spread
             .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
             .orderBy("vec_a", "vec_b"))
 
