@@ -378,6 +378,10 @@ def dedup_minhash_verified(spark, sf):
         size_a, size_b = F.size("ts_a"), F.size("ts_b")
     union = size_a + size_b - inter
     jac = F.floor(inter * 10000.0 / union).cast("long")
+    # (r6b probed, wash: an exchange barrier between the verify filter and
+    # this sort — the sampler's re-run of the final agg + broadcast probes
+    # costs about what the extra 5.5M-row exchange does; contrast
+    # dedup_embedding, where the re-run was a 12.5M-cosine Python stage.)
     return (cands.join(a, "doc_a").join(b, "doc_b")
             .withColumn("jaccard_bp", jac)
             .filter(F.col("jaccard_bp") >= _JACCARD_VERIFY_BP)
